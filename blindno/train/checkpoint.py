@@ -1,0 +1,63 @@
+"""Checkpointing: best-by-metric retention plus full resume state.
+
+Strict superset of the reference's ``torch.save(state_dict)`` best-only scheme with the
+loss embedded in the filename and old-best deletion (``1d_FPE/train_nio.py:159-165``):
+we keep the metric-stamped best directory AND (optionally) optimizer state + step for
+resume, which the reference lacks entirely (SURVEY.md §5.4). Orbax handles sharded
+arrays transparently under a mesh.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_best(ckpt_dir: str, params, batch_stats, epoch: int, test_loss: float):
+    """Save best params/batch_stats to ``{dir}/best_{loss:.6f}``; delete the previous best."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    for old in glob.glob(os.path.join(ckpt_dir, "best_*")):
+        shutil.rmtree(old, ignore_errors=True)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"best_{test_loss:.6f}"))
+    ckptr = _checkpointer()
+    state = {
+        "params": jax.tree.map(lambda a: a, params),
+        "batch_stats": jax.tree.map(lambda a: a, batch_stats),
+        "epoch": epoch,
+        "test_loss": test_loss,
+    }
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_best(ckpt_dir: str):
+    """Load the (single) best checkpoint in ``ckpt_dir``; tolerant of metric suffix
+    (the reference's eval scripts similarly glob metric-stamped filenames)."""
+    matches = sorted(glob.glob(os.path.join(os.path.abspath(ckpt_dir), "best_*")))
+    if not matches:
+        raise FileNotFoundError(f"no best_* checkpoint under {ckpt_dir}")
+    ckptr = _checkpointer()
+    return ckptr.restore(matches[-1])
+
+
+def save_resume(ckpt_dir: str, params, batch_stats, opt_state, epoch: int):
+    """Full resume state (params + optimizer + epoch) — absent from the reference."""
+    path = os.path.abspath(os.path.join(ckpt_dir, "resume"))
+    shutil.rmtree(path, ignore_errors=True)
+    ckptr = _checkpointer()
+    ckptr.save(path, {"params": params, "batch_stats": batch_stats, "opt_state": opt_state, "epoch": epoch})
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_resume(ckpt_dir: str):
+    ckptr = _checkpointer()
+    return ckptr.restore(os.path.abspath(os.path.join(ckpt_dir, "resume")))

@@ -1,0 +1,176 @@
+"""jit-compiled training loop with data-parallel sharding.
+
+Re-design of the reference's per-script epoch loops (``1d_FPE/train_nio.py:95-200``,
+DDP variant ``2d_FPE/train_nio.py:75-143``): Adam + StepLR(100 epochs, x0.5), MSE loss,
+periodic per-field rel-L2 test metrics, best-checkpoint retention.
+
+TPU-first differences:
+- one jit-compiled, buffer-donated train step; the whole dataset lives on device and
+  batches are device-side gathers (no DataLoader, SURVEY.md §2.6);
+- data parallelism is a ``NamedSharding`` over a 1-D ``Mesh('data')`` — XLA inserts the
+  gradient all-reduce over ICI; the same code runs on 1 chip (mesh of 1) or N;
+- the train-time set subsampling randomness is an explicit PRNG stream.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import freeze
+
+from blindno.data.datasets import SetToFieldData, epoch_batch_indices, eval_batches, train_test_split
+from blindno.eval.metrics import relative_l2_per_field
+from blindno.parallel.mesh import data_mesh, shard_batch, replicate
+from blindno.utils.logging import MetricsLogger
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 400
+    batch_size: int = 32
+    lr: float = 1e-3
+    lr_step_epochs: int = 100
+    lr_gamma: float = 0.5
+    save_interval: int = 10
+    seed: int = 0
+    split_seed: int = 0
+    train_frac: float = 0.8
+    reference_denominator: bool = True
+    log_path: str | None = None
+    ckpt_dir: str | None = None
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    batch_stats: Any
+    best_params: Any
+    best_batch_stats: Any
+    best_test_loss: float
+    history: list = dc_field(default_factory=list)
+
+
+def step_lr(lr: float, gamma: float, step_epochs: int, steps_per_epoch: int):
+    """torch StepLR(step_size, gamma) as an optax schedule on the global step."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return lr * gamma ** (epoch // step_epochs)
+
+    return schedule
+
+
+def _split_variables(variables):
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", freeze({}))
+    return params, batch_stats
+
+
+def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *, use_grid: bool = True,
+                progress: Callable | None = None) -> TrainResult:
+    """Full training run. ``model`` is a flax module taking (x, grid, training=...) —
+    models that ignore the grid still accept it for uniformity."""
+    mesh = data_mesh(batch_size=cfg.batch_size)
+    n = data.inputs.shape[0]
+    train_idx, test_idx = train_test_split(n, cfg.train_frac, cfg.split_seed)
+    # datasets are small (<= a few GB): keep them replicated, shard per-step batches
+    x_train = replicate(jnp.asarray(data.inputs[train_idx]), mesh)
+    y_train = replicate(jnp.asarray(data.targets[train_idx]), mesh)
+    x_test = replicate(jnp.asarray(data.inputs[test_idx]), mesh)
+    y_test = replicate(jnp.asarray(data.targets[test_idx]), mesh)
+    grid = jnp.asarray(grid)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    init_x = jnp.asarray(data.inputs[:2])
+    variables = model.init({"params": init_key, "sample": init_key}, init_x, grid)
+    params, batch_stats = _split_variables(variables)
+    params = replicate(params, mesh)
+    batch_stats = replicate(batch_stats, mesh)
+
+    steps_per_epoch = train_idx.shape[0] // cfg.batch_size
+    schedule = step_lr(cfg.lr, cfg.lr_gamma, cfg.lr_step_epochs, steps_per_epoch)
+    tx = optax.adam(schedule)
+    opt_state = replicate(tx.init(params), mesh)
+
+    def apply(variables, x, training, rngs=None, mutable=False):
+        return model.apply(variables, x, grid, training=training, rngs=rngs, mutable=mutable)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, xb, yb, rng):
+        def loss_fn(p):
+            out, updates = apply(
+                {"params": p, "batch_stats": batch_stats}, xb, True,
+                rngs={"sample": rng}, mutable=["batch_stats"],
+            )
+            return jnp.mean((out - yb) ** 2), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch_stats, xb, yb, sample_mask):
+        out = apply({"params": params, "batch_stats": batch_stats}, xb, False)
+        errs = relative_l2_per_field(out, yb, cfg.reference_denominator)  # (B, F)
+        return (errs * sample_mask[:, None]).sum(axis=0)
+
+    logger = MetricsLogger(cfg.log_path)
+    best_loss = float("inf")
+    best_params = params
+    best_stats = batch_stats
+    history = []
+    n_test = test_idx.shape[0]
+    test_batches = eval_batches(n_test, cfg.batch_size)
+
+    for epoch in range(1, cfg.epochs + 1):
+        key, ek = jax.random.split(key)
+        batches = epoch_batch_indices(ek, train_idx.shape[0], cfg.batch_size)
+        epoch_loss = 0.0
+        t0 = time.perf_counter()
+        for i in range(batches.shape[0]):
+            key, sk = jax.random.split(key)
+            xb = shard_batch(jnp.take(x_train, batches[i], axis=0), mesh)
+            yb = shard_batch(jnp.take(y_train, batches[i], axis=0), mesh)
+            params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, xb, yb, sk)
+            epoch_loss += float(loss)
+        train_loss = epoch_loss / max(batches.shape[0], 1)
+        dt = time.perf_counter() - t0
+
+        if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
+            field_sums = None
+            for idx, mask in test_batches:
+                xb = jnp.take(x_test, jnp.asarray(idx), axis=0)
+                yb = jnp.take(y_test, jnp.asarray(idx), axis=0)
+                s = eval_step(params, batch_stats, xb, yb, jnp.asarray(mask))
+                field_sums = s if field_sums is None else field_sums + s
+            field_means = np.asarray(field_sums) / n_test
+            test_loss = float(field_means.sum())
+            record = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "test_loss": test_loss,
+                "field_rel_l2": field_means.tolist(),
+                "steps_per_sec": batches.shape[0] / dt,
+            }
+            history.append(record)
+            logger.log(record)
+            if progress:
+                progress(record)
+            if test_loss < best_loss:
+                best_loss = test_loss
+                best_params = jax.tree.map(lambda a: a.copy(), params)
+                best_stats = jax.tree.map(lambda a: a.copy(), batch_stats)
+                if cfg.ckpt_dir:
+                    from blindno.train.checkpoint import save_best
+
+                    save_best(cfg.ckpt_dir, best_params, best_stats, epoch, best_loss)
+
+    return TrainResult(params, batch_stats, best_params, best_stats, best_loss, history)
