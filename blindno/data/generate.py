@@ -147,16 +147,20 @@ def generate_fpe2d(seed: int, m: int, n_snapshots: int = 100, tf: float = 2e-4,
     p0 = np.exp(-((gx / init_width) ** 2) - ((gy / init_width) ** 2))
     p0 = (p0 / p0.sum()).ravel()
 
-    def solve(u_i, d_i, t_i):
-        pt = propagate_eigh(u_i, d_i, resolution, BETA, jnp.asarray(p0, u_i.dtype), t_i)
-        return pt.reshape(t_i.shape[0], *u_i.shape)
+    # TPU note: batched eigh at 3721^2 is QR-iteration bound and far slower than the
+    # matmul-only expm + matvec-scan path, which also matches the fplanck output grid
+    # (uniform linspace times) exactly. Snapshots are gathered on-device per sample.
+    def solve(u_i, d_i, sel_i):
+        pt = propagate_expm(u_i, d_i, resolution, BETA, jnp.asarray(p0, u_i.dtype),
+                            jnp.asarray(full_time, u_i.dtype))
+        return jnp.take(pt, sel_i, axis=0).reshape(sel_i.shape[0], *u_i.shape)
 
     solve_v = jax.jit(jax.vmap(solve))
     trajs = []
     for s in range(0, m, batch):
         e = min(s + batch, m)
         out = solve_v(jnp.asarray(u[s:e], jnp.float32), jnp.asarray(diff[s:e], jnp.float32),
-                      jnp.asarray(times[s:e], jnp.float32))
+                      jnp.asarray(sel[s:e]))
         trajs.append(np.asarray(out))
     trajectories = np.concatenate(trajs)
     grid = np.stack([gx, gy])  # (2, Nx, Ny)
@@ -215,19 +219,19 @@ def generate_ncfpe2d(seed: int, m: int, n_snapshots: int = 100, tf: float = 10e-
     p0 = np.exp(-(((gx - init_center[0]) / init_width) ** 2) - (((gy - init_center[1]) / init_width) ** 2))
     p0 = (p0 / p0.sum()).ravel()
 
-    def solve(u_i, f_i):
+    def solve(u_i, f_i, sel_i):
         pt = propagate_expm(u_i, diff, resolution, BETA, jnp.asarray(p0, u_i.dtype),
                             jnp.asarray(full_time, u_i.dtype), force=f_i)
-        return pt.reshape(nsteps, *u_i.shape)
+        return jnp.take(pt, sel_i, axis=0).reshape(sel_i.shape[0], *u_i.shape)
 
     solve_v = jax.jit(jax.vmap(solve))
     trajs = []
     for s in range(0, m, batch):
         e = min(s + batch, m)
-        out = np.asarray(solve_v(jnp.asarray(u[s:e], jnp.float32), jnp.asarray(f[s:e], jnp.float32)))
-        for i in range(e - s):
-            trajs.append(out[i][sel[s + i]])
-    trajectories = np.stack(trajs)
+        out = solve_v(jnp.asarray(u[s:e], jnp.float32), jnp.asarray(f[s:e], jnp.float32),
+                      jnp.asarray(sel[s:e]))
+        trajs.append(np.asarray(out))
+    trajectories = np.concatenate(trajs)
     grid = np.stack([gx, gy])
     return {
         "time": times,

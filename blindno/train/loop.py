@@ -1,15 +1,18 @@
-"""jit-compiled training loop with data-parallel sharding.
+"""jit-compiled training loop with data-parallel sharding and epoch-level fusion.
 
 Re-design of the reference's per-script epoch loops (``1d_FPE/train_nio.py:95-200``,
 DDP variant ``2d_FPE/train_nio.py:75-143``): Adam + StepLR(100 epochs, x0.5), MSE loss,
 periodic per-field rel-L2 test metrics, best-checkpoint retention.
 
 TPU-first differences:
-- one jit-compiled, buffer-donated train step; the whole dataset lives on device and
-  batches are device-side gathers (no DataLoader, SURVEY.md §2.6);
+- the ENTIRE epoch is one ``lax.scan`` inside one jit call: the dataset is device
+  resident, batches are device-side gathers of a precomputed permutation, so there are
+  zero host->device round trips inside an epoch (the reference pays a DataLoader +
+  dispatch round trip per step);
 - data parallelism is a ``NamedSharding`` over a 1-D ``Mesh('data')`` — XLA inserts the
   gradient all-reduce over ICI; the same code runs on 1 chip (mesh of 1) or N;
-- the train-time set subsampling randomness is an explicit PRNG stream.
+- the train-time set subsampling randomness is an explicit PRNG stream (one key per
+  step, fed through the scan).
 """
 from __future__ import annotations
 
@@ -23,10 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax.core import freeze
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from blindno.data.datasets import SetToFieldData, epoch_batch_indices, eval_batches, train_test_split
+from blindno.data.datasets import SetToFieldData, eval_batches, train_test_split
 from blindno.eval.metrics import relative_l2_per_field
-from blindno.parallel.mesh import data_mesh, shard_batch, replicate
+from blindno.parallel.mesh import data_mesh, replicate
 from blindno.utils.logging import MetricsLogger
 
 
@@ -66,17 +70,11 @@ def step_lr(lr: float, gamma: float, step_epochs: int, steps_per_epoch: int):
     return schedule
 
 
-def _split_variables(variables):
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", freeze({}))
-    return params, batch_stats
-
-
-def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *, use_grid: bool = True,
+def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 progress: Callable | None = None) -> TrainResult:
-    """Full training run. ``model`` is a flax module taking (x, grid, training=...) —
-    models that ignore the grid still accept it for uniformity."""
+    """Full training run. ``model`` is a flax module taking (x, grid, training=...)."""
     mesh = data_mesh(batch_size=cfg.batch_size)
+    dp = NamedSharding(mesh, P("data"))
     n = data.inputs.shape[0]
     train_idx, test_idx = train_test_split(n, cfg.train_frac, cfg.split_seed)
     # datasets are small (<= a few GB): keep them replicated, shard per-step batches
@@ -88,9 +86,10 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *, use_grid
 
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
-    init_x = jnp.asarray(data.inputs[:2])
+    init_x = jnp.asarray(data.inputs[: max(2, min(cfg.batch_size, 4))])
     variables = model.init({"params": init_key, "sample": init_key}, init_x, grid)
-    params, batch_stats = _split_variables(variables)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", freeze({}))
     params = replicate(params, mesh)
     batch_stats = replicate(batch_stats, mesh)
 
@@ -103,21 +102,36 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *, use_grid
         return model.apply(variables, x, grid, training=training, rngs=rngs, mutable=mutable)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, xb, yb, rng):
-        def loss_fn(p):
-            out, updates = apply(
-                {"params": p, "batch_stats": batch_stats}, xb, True,
-                rngs={"sample": rng}, mutable=["batch_stats"],
-            )
-            return jnp.mean((out - yb) ** 2), updates["batch_stats"]
+    def train_epoch(params, batch_stats, opt_state, batch_idx, step_keys):
+        """One epoch fused into a single device program (scan over batches)."""
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_stats, opt_state, loss
+        def body(carry, xs):
+            params, batch_stats, opt_state = carry
+            idx, rng = xs
+            xb = jax.lax.with_sharding_constraint(jnp.take(x_train, idx, axis=0), dp)
+            yb = jax.lax.with_sharding_constraint(jnp.take(y_train, idx, axis=0), dp)
+
+            def loss_fn(p):
+                out, updates = apply(
+                    {"params": p, "batch_stats": batch_stats}, xb, True,
+                    rngs={"sample": rng}, mutable=["batch_stats"],
+                )
+                return jnp.mean((out - yb) ** 2), updates["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_stats, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (batch_idx, step_keys)
+        )
+        return params, batch_stats, opt_state, losses.mean()
 
     @jax.jit
-    def eval_step(params, batch_stats, xb, yb, sample_mask):
+    def eval_step(params, batch_stats, idx, sample_mask):
+        xb = jnp.take(x_test, idx, axis=0)
+        yb = jnp.take(y_test, idx, axis=0)
         out = apply({"params": params, "batch_stats": batch_stats}, xb, False)
         errs = relative_l2_per_field(out, yb, cfg.reference_denominator)  # (B, F)
         return (errs * sample_mask[:, None]).sum(axis=0)
@@ -128,28 +142,26 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *, use_grid
     best_stats = batch_stats
     history = []
     n_test = test_idx.shape[0]
-    test_batches = eval_batches(n_test, cfg.batch_size)
+    test_batches = [
+        (jnp.asarray(i), jnp.asarray(m)) for i, m in eval_batches(n_test, cfg.batch_size)
+    ]
 
     for epoch in range(1, cfg.epochs + 1):
-        key, ek = jax.random.split(key)
-        batches = epoch_batch_indices(ek, train_idx.shape[0], cfg.batch_size)
-        epoch_loss = 0.0
+        key, pk, sk = jax.random.split(key, 3)
+        perm = jax.random.permutation(pk, train_idx.shape[0])
+        batch_idx = perm[: steps_per_epoch * cfg.batch_size].reshape(steps_per_epoch, cfg.batch_size)
+        step_keys = jax.random.split(sk, steps_per_epoch)
         t0 = time.perf_counter()
-        for i in range(batches.shape[0]):
-            key, sk = jax.random.split(key)
-            xb = shard_batch(jnp.take(x_train, batches[i], axis=0), mesh)
-            yb = shard_batch(jnp.take(y_train, batches[i], axis=0), mesh)
-            params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, xb, yb, sk)
-            epoch_loss += float(loss)
-        train_loss = epoch_loss / max(batches.shape[0], 1)
+        params, batch_stats, opt_state, train_loss = train_epoch(
+            params, batch_stats, opt_state, batch_idx, step_keys
+        )
+        train_loss = float(train_loss)
         dt = time.perf_counter() - t0
 
         if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
             field_sums = None
             for idx, mask in test_batches:
-                xb = jnp.take(x_test, jnp.asarray(idx), axis=0)
-                yb = jnp.take(y_test, jnp.asarray(idx), axis=0)
-                s = eval_step(params, batch_stats, xb, yb, jnp.asarray(mask))
+                s = eval_step(params, batch_stats, idx, mask)
                 field_sums = s if field_sums is None else field_sums + s
             field_means = np.asarray(field_sums) / n_test
             test_loss = float(field_means.sum())
@@ -158,7 +170,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *, use_grid
                 "train_loss": train_loss,
                 "test_loss": test_loss,
                 "field_rel_l2": field_means.tolist(),
-                "steps_per_sec": batches.shape[0] / dt,
+                "steps_per_sec": steps_per_epoch / dt,
             }
             history.append(record)
             logger.log(record)
@@ -173,4 +185,5 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *, use_grid
 
                     save_best(cfg.ckpt_dir, best_params, best_stats, epoch, best_loss)
 
+    logger.close()
     return TrainResult(params, batch_stats, best_params, best_stats, best_loss, history)
