@@ -158,6 +158,8 @@ _register(
         train_cfg=TrainConfig(epochs=1000, batch_size=32, lr=1e-3, save_interval=10),
         m_train=6000,
         m_test=1200,
+        train_file="gpe1d_train.npz",  # shares the g=kappa=2 orbits with the gpe1d suite
+        test_file="gpe1d_test.npz",
     )
 )
 

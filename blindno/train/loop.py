@@ -48,6 +48,11 @@ class TrainConfig:
     reference_denominator: bool = True
     log_path: str | None = None
     ckpt_dir: str | None = None
+    # Fuse the whole epoch into one lax.scan device program. Best when per-step host
+    # dispatch dominates (many tiny steps); costs one large XLA compile up front. The
+    # per-step path compiles ~40x faster and reaches similar steady-state throughput
+    # on a single chip, so it is the default.
+    epoch_scan: bool = False
 
 
 @dataclass
@@ -87,7 +92,9 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     init_x = jnp.asarray(data.inputs[: max(2, min(cfg.batch_size, 4))])
-    variables = model.init({"params": init_key, "sample": init_key}, init_x, grid)
+    # jit the init: eager tracing dispatches thousands of tiny ops (very slow on a
+    # remote-tunneled TPU); compiled init is one program
+    variables = jax.jit(model.init)({"params": init_key, "sample": init_key}, init_x, grid)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", freeze({}))
     params = replicate(params, mesh)
@@ -128,6 +135,22 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         )
         return params, batch_stats, opt_state, losses.mean()
 
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, idx, rng):
+        xb = jax.lax.with_sharding_constraint(jnp.take(x_train, idx, axis=0), dp)
+        yb = jax.lax.with_sharding_constraint(jnp.take(y_train, idx, axis=0), dp)
+
+        def loss_fn(p):
+            out, updates = apply(
+                {"params": p, "batch_stats": batch_stats}, xb, True,
+                rngs={"sample": rng}, mutable=["batch_stats"],
+            )
+            return jnp.mean((out - yb) ** 2), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
     @jax.jit
     def eval_step(params, batch_stats, idx, sample_mask):
         xb = jnp.take(x_test, idx, axis=0)
@@ -152,10 +175,19 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         batch_idx = perm[: steps_per_epoch * cfg.batch_size].reshape(steps_per_epoch, cfg.batch_size)
         step_keys = jax.random.split(sk, steps_per_epoch)
         t0 = time.perf_counter()
-        params, batch_stats, opt_state, train_loss = train_epoch(
-            params, batch_stats, opt_state, batch_idx, step_keys
-        )
-        train_loss = float(train_loss)
+        if cfg.epoch_scan:
+            params, batch_stats, opt_state, train_loss = train_epoch(
+                params, batch_stats, opt_state, batch_idx, step_keys
+            )
+            train_loss = float(train_loss)
+        else:
+            losses = []
+            for i in range(steps_per_epoch):
+                params, batch_stats, opt_state, loss = train_step(
+                    params, batch_stats, opt_state, batch_idx[i], step_keys[i]
+                )
+                losses.append(loss)
+            train_loss = float(jnp.stack(losses).mean())
         dt = time.perf_counter() - t0
 
         if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
