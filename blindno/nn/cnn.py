@@ -187,3 +187,73 @@ class Encoder3D(nn.Module):
         h = ConvBlock(self.dim5, (2, 1, 1), (1, 1, 1), 0)(h, training=training)
         h = h.reshape(b, l, -1)
         return TorchDense(self.n_out)(h)
+
+
+class EncoderHelm2(nn.Module):
+    """Helmholtz-era 2-D encoder variant (``Baselines.py:95-147``; unused in the main
+    path, kept for inventory parity). Input (B, L, H, W) with H tiny (e.g. 2)."""
+
+    n_out: int
+    dim1: int = 64
+    dim2: int = 128
+    dim5: int = 512
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        b, l = x.shape[:2]
+        h = x.reshape((b * l,) + x.shape[2:] + (1,))
+        h = ConvBlock(self.dim1, (1, 7), (1, 2), (0, 3))(h, training=training)
+        h = ConvBlock(self.dim2, (1, 3), (1, 2), (0, 1))(h, training=training)
+        h = ConvBlock(self.dim5, (1, 3), (1, 2), (0, 1))(h, training=training)
+        h = ConvBlock(self.dim5, (1, 3), (1, 2), (0, 1))(h, training=training)
+        h = ConvBlock(self.dim5, (2, 4), (1, 1), 0)(h, training=training)
+        h = h.reshape(b, l, -1)
+        return TorchDense(self.n_out)(h)
+
+
+class EncoderODE(nn.Module):
+    """ODE-observation encoder variant (``Baselines.py:290-320``; vestigial)."""
+
+    output_dim: int
+    dim1: int = 64
+    dim2: int = 128
+    dim3: int = 256
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        b, l, n = x.shape
+        h = x.reshape(b * l, n, 1)
+        for dim in (self.dim1, self.dim2, self.dim3):
+            h = ConvBlock(dim, (3,), (2,), 1)(h, training=training)
+        h = ConvBlock(self.dim3, (3,), (1,), 1)(h, training=training)
+        h = ConvBlock(self.dim3, (2,), (1,), 0)(h, training=training)
+        h = h.reshape(b, l, -1)
+        return TorchDense(self.output_dim)(h)
+
+
+class Encoder3DDown(nn.Module):
+    """Deeper-downsampling 3-D encoder (``Baselines.py:360-430``; vestigial)."""
+
+    n_out: int
+    dim1: int = 64
+    dim2: int = 128
+    dim3: int = 256
+    dim4: int = 512
+    dim5: int = 512
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        b, l = x.shape[:2]
+        h = x.reshape((b * l,) + x.shape[2:] + (1,))
+        h = ConvBlock(self.dim1, (1, 7, 7), (1, 2, 2), (0, 3, 3))(h, training=training)
+        h = ConvBlock(self.dim2, (3, 3, 3), (2, 2, 2), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim2, (3, 3, 3), (1, 1, 1), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim3, (3, 3, 3), (2, 2, 2), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim3, (3, 3, 3), (1, 1, 1), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim4, (3, 3, 3), (2, 2, 2), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim4, (3, 3, 3), (1, 1, 1), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim5, (3, 3, 3), (2, 2, 2), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim5, (3, 3, 3), (2, 2, 2), (1, 1, 1))(h, training=training)
+        h = ConvBlock(self.dim5, (1, 1, 1), (1, 1, 1), 0)(h, training=training)
+        h = h.reshape(b, l, -1)
+        return TorchDense(self.n_out)(h)
