@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from blindno.ops import spectral
+from blindno.ops.config import spectral_impl
 from blindno.nn.torch_layers import TorchDense, gelu
 from blindno.utils import torch_init as tinit
 
@@ -33,6 +34,10 @@ class SpectralConv1d(nn.Module):
         shape = (self.in_channels, self.out_channels, self.modes)
         wr = self.param("weights_re", tinit.spectral_uniform(scale), shape)
         wi = self.param("weights_im", tinit.spectral_uniform(scale), shape)
+        if spectral_impl() == "pallas":
+            from blindno.ops.spectral_pallas import spectral_conv1d_pallas
+
+            return spectral_conv1d_pallas(x, wr, wi, dc_half=self.dc_half)
         return spectral.spectral_conv1d(x, wr, wi, dc_half=self.dc_half)
 
 
@@ -50,6 +55,10 @@ class SpectralConv2d(nn.Module):
         shape = (self.in_channels, self.out_channels, 2 * self.modes1, self.modes2)
         wr = self.param("weights_re", tinit.spectral_uniform(scale), shape)
         wi = self.param("weights_im", tinit.spectral_uniform(scale), shape)
+        if spectral_impl() == "pallas":
+            from blindno.ops.spectral_pallas import spectral_conv2d_pallas
+
+            return spectral_conv2d_pallas(x, wr, wi)
         return spectral.spectral_conv2d(x, wr, wi)
 
 
