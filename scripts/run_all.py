@@ -11,6 +11,8 @@ import sys
 import time
 import traceback
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 W = os.environ.get("BLINDNO_WORKDIR", "/root/repo/runs")
