@@ -48,16 +48,37 @@ def load_best(ckpt_dir: str):
     return ckptr.restore(matches[-1])
 
 
-def save_resume(ckpt_dir: str, params, batch_stats, opt_state, epoch: int):
-    """Full resume state (params + optimizer + epoch) — absent from the reference."""
-    path = os.path.abspath(os.path.join(ckpt_dir, "resume"))
-    shutil.rmtree(path, ignore_errors=True)
-    ckptr = _checkpointer()
-    ckptr.save(path, {"params": params, "batch_stats": batch_stats, "opt_state": opt_state, "epoch": epoch})
-    ckptr.wait_until_finished()
+def save_resume(ckpt_dir: str, params, batch_stats, opt_state, epoch: int,
+                best_loss: float):
+    """Full resume state (params + optimizer + epoch) — absent from the reference.
+
+    Serialized with flax msgpack (optax states are NamedTuples; restoring requires the
+    runtime target structure anyway, which ``load_resume`` takes)."""
+    import flax.serialization as fser
+    import jax
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+        "opt_state": jax.device_get(opt_state),
+        "epoch": epoch,
+        "best_loss": best_loss,
+    }
+    path = os.path.join(ckpt_dir, "resume.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(fser.to_bytes(state))
+    os.replace(tmp, path)
     return path
 
 
-def load_resume(ckpt_dir: str):
-    ckptr = _checkpointer()
-    return ckptr.restore(os.path.abspath(os.path.join(ckpt_dir, "resume")))
+def load_resume(ckpt_dir: str, target):
+    """Restore into ``target`` (a dict with the same structure as saved)."""
+    import flax.serialization as fser
+
+    path = os.path.join(ckpt_dir, "resume.msgpack")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        return fser.from_bytes(target, fh.read())

@@ -35,3 +35,21 @@ def test_train_nio1d_smoke(tmp_path):
     out_a = model.apply({"params": res.best_params, "batch_stats": res.best_batch_stats}, x, jnp.asarray(grid))
     out_b = model.apply({"params": restored["params"], "batch_stats": restored["batch_stats"]}, x, jnp.asarray(grid))
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+
+def test_resume_continues_training(tmp_path):
+    d = G.generate_fpe1d(seed=3, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    ck = str(tmp_path / "ck")
+    cfg = TrainConfig(epochs=2, batch_size=8, save_interval=1, ckpt_dir=ck)
+    res1 = train_model(model, ds, grid, cfg)
+    assert res1.history[-1]["epoch"] == 2
+
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, epochs=4)
+    res2 = train_model(model, ds, grid, cfg2)
+    # resumed run only covers epochs 3..4
+    assert [h["epoch"] for h in res2.history] == [3, 4]
+    assert res2.best_test_loss <= res1.best_test_loss + 1e-9
