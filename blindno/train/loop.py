@@ -104,6 +104,11 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
     batch_stats = replicate(batch_stats, mesh)
 
     steps_per_epoch = train_idx.shape[0] // cfg.batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} exceeds the train split "
+            f"({train_idx.shape[0]} samples) — no steps would run; lower batch_size or add data"
+        )
     schedule = step_lr(cfg.lr, cfg.lr_gamma, cfg.lr_step_epochs, steps_per_epoch)
     tx = optax.adam(schedule)
     opt_state = replicate(tx.init(params), mesh)
