@@ -56,6 +56,9 @@ class TrainConfig:
     # Resume from {ckpt_dir}/resume.msgpack when present (params + optimizer + epoch);
     # resume state is written at every eval interval. The reference has no resume path.
     resume: bool = True
+    # Graceful preemption: if this file appears, finish the epoch, save resume state,
+    # and return (training continues from there on the next invocation).
+    stop_file: str | None = None
 
 
 @dataclass
@@ -244,6 +247,14 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 from blindno.train.checkpoint import save_resume
 
                 save_resume(cfg.ckpt_dir, params, batch_stats, opt_state, epoch, best_loss)
+
+        if cfg.stop_file and __import__("os").path.exists(cfg.stop_file):
+            if cfg.ckpt_dir:
+                from blindno.train.checkpoint import save_resume
+
+                save_resume(cfg.ckpt_dir, params, batch_stats, opt_state, epoch, best_loss)
+            logger.log({"event": "preempted", "epoch": epoch})
+            break
 
     logger.close()
     return TrainResult(params, batch_stats, best_params, best_stats, best_loss, history)

@@ -63,17 +63,21 @@ def train_one(spec, model_name, epochs=None):
         epochs=epochs or spec.train_cfg.epochs,
         ckpt_dir=os.path.join(W, "ckpt", f"{spec.name}_{model_name}"),
         log_path=os.path.join(W, "logs", f"{spec.name}_{model_name}.jsonl"),
+        stop_file=os.path.join(W, "STOP"),
     )
     model = spec.models[model_name]()
     log(f"train {spec.name}/{model_name} for {cfg.epochs} epochs")
     t0 = time.time()
     res = train_model(model, data, spec.grid, cfg)
-    log(f"  best test rel-L2 {res.best_test_loss:.6f} in {time.time() - t0:.0f}s")
-    with open(summary_path, "w") as fh:
-        json.dump({"suite": spec.name, "model": model_name,
-                   "best_test_loss": res.best_test_loss,
-                   "wall_s": time.time() - t0,
-                   "history": res.history}, fh, indent=1)
+    finished = bool(res.history) and res.history[-1].get("epoch") == cfg.epochs
+    log(f"  best test rel-L2 {res.best_test_loss:.6f} in {time.time() - t0:.0f}s"
+        + ("" if finished else " (preempted; resumable)"))
+    if finished:
+        with open(summary_path, "w") as fh:
+            json.dump({"suite": spec.name, "model": model_name,
+                       "best_test_loss": res.best_test_loss,
+                       "wall_s": time.time() - t0,
+                       "history": res.history}, fh, indent=1)
 
 
 def main():
