@@ -137,14 +137,14 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         return model.apply(variables, x, grid, training=training, rngs=rngs, mutable=mutable)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch(params, batch_stats, opt_state, batch_idx, step_keys):
+    def train_epoch(params, batch_stats, opt_state, x_all, y_all, batch_idx, step_keys):
         """One epoch fused into a single device program (scan over batches)."""
 
         def body(carry, xs):
             params, batch_stats, opt_state = carry
             idx, rng = xs
-            xb = jax.lax.with_sharding_constraint(jnp.take(x_train, idx, axis=0), dp)
-            yb = jax.lax.with_sharding_constraint(jnp.take(y_train, idx, axis=0), dp)
+            xb = jax.lax.with_sharding_constraint(jnp.take(x_all, idx, axis=0), dp)
+            yb = jax.lax.with_sharding_constraint(jnp.take(y_all, idx, axis=0), dp)
 
             def loss_fn(p):
                 out, updates = apply(
@@ -164,9 +164,11 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         return params, batch_stats, opt_state, losses.mean()
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, idx, rng):
-        xb = jax.lax.with_sharding_constraint(jnp.take(x_train, idx, axis=0), dp)
-        yb = jax.lax.with_sharding_constraint(jnp.take(y_train, idx, axis=0), dp)
+    def train_step(params, batch_stats, opt_state, x_all, y_all, idx, rng):
+        # dataset arrays are explicit args (closed-over device arrays would be
+        # captured as multi-GB lowering constants)
+        xb = jax.lax.with_sharding_constraint(jnp.take(x_all, idx, axis=0), dp)
+        yb = jax.lax.with_sharding_constraint(jnp.take(y_all, idx, axis=0), dp)
 
         def loss_fn(p):
             out, updates = apply(
@@ -180,9 +182,9 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
     @jax.jit
-    def eval_step(params, batch_stats, idx, sample_mask):
-        xb = jnp.take(x_test, idx, axis=0)
-        yb = jnp.take(y_test, idx, axis=0)
+    def eval_step(params, batch_stats, x_all, y_all, idx, sample_mask):
+        xb = jnp.take(x_all, idx, axis=0)
+        yb = jnp.take(y_all, idx, axis=0)
         out = apply({"params": params, "batch_stats": batch_stats}, xb, False)
         errs = relative_l2_per_field(out, yb, cfg.reference_denominator)  # (B, F)
         return (errs * sample_mask[:, None]).sum(axis=0)
@@ -204,14 +206,14 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         t0 = time.perf_counter()
         if cfg.epoch_scan:
             params, batch_stats, opt_state, train_loss = train_epoch(
-                params, batch_stats, opt_state, batch_idx, step_keys
+                params, batch_stats, opt_state, x_train, y_train, batch_idx, step_keys
             )
             train_loss = float(train_loss)
         else:
             losses = []
             for i in range(steps_per_epoch):
                 params, batch_stats, opt_state, loss = train_step(
-                    params, batch_stats, opt_state, batch_idx[i], step_keys[i]
+                    params, batch_stats, opt_state, x_train, y_train, batch_idx[i], step_keys[i]
                 )
                 losses.append(loss)
             train_loss = float(jnp.stack(losses).mean())
@@ -220,7 +222,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
             field_sums = None
             for idx, mask in test_batches:
-                s = eval_step(params, batch_stats, idx, mask)
+                s = eval_step(params, batch_stats, x_test, y_test, idx, mask)
                 field_sums = s if field_sums is None else field_sums + s
             field_means = np.asarray(field_sums) / n_test
             test_loss = float(field_means.sum())
