@@ -47,3 +47,32 @@ def test_temporal_self_attention_matches_torch(rng):
     ln.bias.data = torch.tensor(np.asarray(variables["params"]["LayerNorm_0"]["bias"]))
     want = ln(out).detach().numpy().reshape(b, t, c, n)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_subsample_set_distribution():
+    """L ~ U{l_min..L_max-1}; gathered indices uniform over the set (with replacement)."""
+    from blindno.nn.setops import subsample_set
+
+    l_max, l_min = 100, 50
+    x = jnp.arange(l_max, dtype=jnp.float32).reshape(1, l_max, 1)
+    ls, gathered = [], []
+    for i in range(200):
+        xg, mask = subsample_set(jax.random.PRNGKey(i), x, l_min, training=True)
+        ls.append(int(mask.sum()))
+        gathered.append(np.asarray(xg[0, :, 0]))
+    ls = np.asarray(ls)
+    assert ls.min() >= l_min and ls.max() <= l_max - 1
+    assert abs(ls.mean() - (l_min + l_max - 1) / 2) < 3.0
+    flat = np.concatenate(gathered)
+    # uniform over 0..99: mean ~49.5, and duplicates must occur (with replacement)
+    assert abs(flat.mean() - 49.5) < 1.5
+    assert len(np.unique(gathered[0])) < l_max
+
+
+def test_subsample_eval_identity():
+    from blindno.nn.setops import subsample_set
+
+    x = jnp.arange(12, dtype=jnp.float32).reshape(1, 12, 1)
+    xg, mask = subsample_set(jax.random.PRNGKey(0), x, 5, training=False)
+    np.testing.assert_array_equal(np.asarray(xg), np.asarray(x))
+    assert float(mask.sum()) == 12
