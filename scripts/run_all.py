@@ -90,8 +90,7 @@ def main():
         ("fpe1d", "unet", {}),
         ("fpe2d", "data", {}),
         ("fpe2d", "nio", {}),
-        ("fpe2d", "unet", {}),
-        ("fpe2d", "fno", {}),
+        # fast 1-D suites before the long 2-D UNet/FNO runs
         ("schrodinger1d", "data", {}),
         ("schrodinger1d", "nio", {}),
         ("schrodinger1d", "fno", {}),
@@ -100,6 +99,8 @@ def main():
         ("gpe1d", "nio", {}),
         ("gpe1d", "fno", {}),
         ("gpe1d", "unet", {}),
+        ("fpe2d", "unet", {}),
+        ("fpe2d", "fno", {}),
         ("ncfpe2d", "data", {"m_train": 1200}),
         ("ncfpe2d", "nio", {}),
         ("ncfpe2d", "unet", {}),
