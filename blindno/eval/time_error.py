@@ -187,11 +187,14 @@ def time_error_suite(spec, model_name: str, workdir: str, num_samples: int = 100
         d_p = jnp.asarray(preds[..., 1].mean(axis=1), jnp.float32)
         errs = fpe1d_rollout_error(u_t, d_t, u_p, d_p)
     elif spec.name == "fpe2d":
+        # clamp predicted drag fields away from zero (gamma <= 0 is unphysical and
+        # would blow up the kT/gamma diffusion rates)
+        gamma_floor = 0.05 * BASE_DRAG
         errs = fpe2d_rollout_error(
             jnp.asarray(test["potential"][idx], jnp.float32),
             jnp.asarray(test["drag"][idx], jnp.float32),
             jnp.asarray(preds[..., 0], jnp.float32),
-            jnp.asarray(np.maximum(preds[..., 1], 1e-12), jnp.float32),
+            jnp.asarray(np.maximum(preds[..., 1], gamma_floor), jnp.float32),
         )
     elif spec.name == "ncfpe2d":
         errs = ncfpe2d_rollout_error(
