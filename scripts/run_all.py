@@ -89,8 +89,7 @@ def main():
         ("fpe1d", "fno", {}),
         ("fpe1d", "unet", {}),
         ("fpe2d", "data", {}),
-        ("fpe2d", "nio", {}),
-        # fast 1-D suites before the long 2-D UNet/FNO runs
+        # fast 1-D suites before the long 2-D runs
         ("schrodinger1d", "data", {}),
         ("schrodinger1d", "nio", {}),
         ("schrodinger1d", "fno", {}),
@@ -99,13 +98,14 @@ def main():
         ("gpe1d", "nio", {}),
         ("gpe1d", "fno", {}),
         ("gpe1d", "unet", {}),
+        ("gpe1d_vgk", "nio", {}),
+        ("fpe2d", "nio", {}),
         ("fpe2d", "unet", {}),
         ("fpe2d", "fno", {}),
         ("ncfpe2d", "data", {"m_train": 1200}),
         ("ncfpe2d", "nio", {}),
         ("ncfpe2d", "unet", {}),
         ("ncfpe2d", "fno", {}),
-        ("gpe1d_vgk", "nio", {}),
     ]
     for suite, item, kw in plan:
         if stop_requested():
