@@ -21,7 +21,7 @@ class ConvNeXtBlock(nn.Module):
         ndim = x.ndim - 2
         shortcut = x
         h = TorchConv(self.dim, (7,) * ndim, None, 3, feature_group_count=self.dim)(x)
-        h = nn.LayerNorm(epsilon=1e-6)(h)
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False)(h)
         h = TorchDense(4 * self.dim)(h)
         h = gelu(h)
         h = TorchDense(self.dim)(h)

@@ -69,7 +69,10 @@ def set_self_attention(x_flat, mask=None, scale=None):
     d = x_flat.shape[-1]
     if scale is None:
         scale = jnp.sqrt(jnp.asarray(d, x_flat.dtype))
-    scores = jnp.einsum("btd,bsd->bts", x_flat, x_flat) / scale
+    # HIGHEST: TPU's default bf16 matmul passes lose too much precision on these
+    # huge token dims (d up to C*H*W ~ 3721) and can destabilize training
+    scores = jnp.einsum("btd,bsd->bts", x_flat, x_flat,
+                        precision=jax.lax.Precision.HIGHEST) / scale
     if mask is not None:
         key_mask = mask.reshape((1, 1, -1)) if mask.ndim == 1 else mask[:, None, :]
         scores = scores + (1.0 - key_mask) * NEG_INF
@@ -93,7 +96,9 @@ class TemporalSelfAttention(nn.Module):
         x_flat = x.reshape(b, t, d)
         out = set_self_attention(x_flat, mask)
         out = out + x_flat
-        out = nn.LayerNorm(epsilon=1e-5)(out)
+        # use_fast_variance=False: E[x^2]-E[x]^2 cancels catastrophically for these
+        # wide (C*spatial) token vectors on TPU and can go negative -> NaN
+        out = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False)(out)
         return out.reshape(x.shape)
 
 

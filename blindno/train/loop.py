@@ -219,6 +219,12 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
             train_loss = float(jnp.stack(losses).mean())
         dt = time.perf_counter() - t0
 
+        if not np.isfinite(train_loss):
+            # divergence guard: stop immediately; the last finite resume state (if
+            # any) is what a future invocation continues from
+            logger.log({"event": "diverged", "epoch": epoch, "train_loss": train_loss})
+            break
+
         if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
             field_sums = None
             for idx, mask in test_batches:

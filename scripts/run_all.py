@@ -100,8 +100,8 @@ def main():
         ("gpe1d", "unet", {}),
         ("gpe1d_vgk", "nio", {}),
         ("fpe2d", "nio", {}),
-        ("fpe2d", "unet", {}),
         ("fpe2d", "fno", {}),
+        ("fpe2d", "unet", {}),
         ("ncfpe2d", "data", {"m_train": 1200}),
         ("ncfpe2d", "nio", {}),
         ("ncfpe2d", "unet", {}),
