@@ -24,6 +24,7 @@ are not reproduced.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from blindno.nn.convnext import ConvNeXtBlock, PlainConvBlock
@@ -104,6 +105,11 @@ class PermInvUNetAttn(nn.Module):
             skip = set_pool(feats[level], level)
             skip = TorchBatchNorm(use_running_average=not training)(skip)
             h = jnp.concatenate([h, skip], axis=-1)
+            # XLA TPU workaround: the transpose-pad/concat/conv fusion miscompiles on
+            # this backend (reads uninitialized memory -> f32-max garbage / NaN);
+            # verified minimal repro + fix in tests of the up path. The barrier
+            # blocks that fusion at negligible cost.
+            h = jax.lax.optimization_barrier(h)
             h = TorchConv(chs[level], (3,) * ndim, None, 1)(h)
             h = make_block(chs[level], h)
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +76,12 @@ class TorchConvTranspose(nn.Module):
         pads = [(0, 0)] + [(0, int(p)) for p in opad] + [(0, 0)]
         if any(p for _, p in pads):
             y = jnp.pad(y, pads)
+            # XLA TPU workaround: fusing this pad into a downstream concat+conv
+            # miscompiles on this backend (reads uninitialized memory -> values up to
+            # f32-max / NaN; reproduced in /tmp-style minimal case: convtranspose ->
+            # pad -> concat -> conv at 61x61 with 1-2 channels). The barrier blocks
+            # that fusion and costs one materialization of a small tensor.
+            y = jax.lax.optimization_barrier(y)
         return y
 
 
