@@ -101,6 +101,11 @@ def main():
     p.add_argument("--force", action="store_true")
     args = p.parse_args()
     spec = SUITES[args.suite]
+    if args.stage != "datagen" and args.model not in spec.models:
+        p.error(
+            f"unknown model {args.model!r} for suite {args.suite!r}; "
+            f"choose from: {', '.join(sorted(spec.models))}"
+        )
     os.makedirs(os.path.join(args.workdir, "logs"), exist_ok=True)
     {"datagen": stage_datagen, "train": stage_train,
      "eval": stage_eval, "time-error": stage_time_error}[args.stage](spec, args)
