@@ -1,0 +1,1 @@
+from blindno.suites.registry import SUITES

@@ -53,3 +53,15 @@ def test_resume_continues_training(tmp_path):
     # resumed run only covers epochs 3..4
     assert [h["epoch"] for h in res2.history] == [3, 4]
     assert res2.best_test_loss <= res1.best_test_loss + 1e-9
+
+
+def test_divergence_guard_stops_training():
+    """A blow-up LR produces non-finite loss; the loop must stop, not spin."""
+    d = G.generate_fpe1d(seed=5, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    cfg = TrainConfig(epochs=50, batch_size=8, save_interval=1, lr=1e12)
+    res = train_model(model, ds, grid, cfg)
+    # stopped well before 50 epochs with no finite best
+    assert len(res.history) < 10
