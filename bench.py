@@ -7,18 +7,37 @@ Config matches the reference's benchmarked setup (``2d_FPE/train_nio.py``): NIOF
 grid, Adam. The measured quantity is full training steps/sec (forward + backward +
 optimizer update) on one chip.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). ``A100_EST``
-is an engineering estimate of the PyTorch reference's A100 step rate derived from its
-per-step work (Encoder2D over 400 61x61 snapshots with up to 512 channels + 2x FNO2d
-rfft2/einsum/irfft2 at width 12, modes 32 + DDP overhead; measured torch-CPU step time
-scaled by a typical A100/CPU factor for this op mix). vs_baseline = ours / estimate.
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The anchor is
+MEASURED on this host by ``scripts/bench_torch_baseline.py`` (a faithful torch
+restatement of the reference model/step at the same config, run on host CPU; results
+committed in ``runs/logs/torch_baseline.json``), scaled to an A100 estimate:
+``A100_EST = torch_cpu_steps_per_sec * CPU_TO_A100``. CPU_TO_A100 = 25 is the assumed
+A100-vs-this-host speedup for this op mix (hundreds of small-batch cuDNN convs +
+cuFFT FNO layers; conservative — A100 typically gains 20-50x over a few CPU cores on
+conv-heavy fp32 training). If the measured file is absent, falls back to the fixed
+estimate 12 steps/s. The JSON line also reports measured FLOPs/step (XLA cost
+analysis) and the achieved TFLOP/s so the claim is auditable independent of any
+baseline assumption.
 """
 import json
+import os
 import time
 
 import numpy as np
 
-A100_EST_STEPS_PER_SEC = 12.0
+CPU_TO_A100 = 25.0
+FALLBACK_A100_EST = 12.0
+
+
+def a100_baseline_steps_per_sec():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "runs", "logs", "torch_baseline.json")
+    try:
+        with open(path) as fh:
+            measured = json.load(fh)["torch_cpu_steps_per_sec"]
+        return measured * CPU_TO_A100, f"torch_cpu {measured:.3f}/s x {CPU_TO_A100:.0f}"
+    except (OSError, KeyError, ValueError):
+        return FALLBACK_A100_EST, "fixed estimate (torch_baseline.json absent)"
 
 
 def main():
@@ -62,6 +81,13 @@ def main():
         params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, x, y, k)
     jax.block_until_ready(loss)
 
+    # measured FLOPs per step from XLA's cost model (auditable perf basis)
+    try:
+        compiled = train_step.lower(params, batch_stats, opt_state, x, y, key).compile()
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
@@ -71,11 +97,16 @@ def main():
     dt = time.perf_counter() - t0
 
     sps = n_steps / dt
+    baseline, basis = a100_baseline_steps_per_sec()
     print(json.dumps({
         "metric": "2d_fpe_nio_train_steps_per_sec",
         "value": round(sps, 3),
         "unit": "steps/s",
-        "vs_baseline": round(sps / A100_EST_STEPS_PER_SEC, 3),
+        "vs_baseline": round(sps / baseline, 3),
+        "baseline_steps_per_sec": round(baseline, 3),
+        "baseline_basis": basis,
+        "flops_per_step": flops,
+        "achieved_tflops_per_sec": round(sps * flops / 1e12, 2) if np.isfinite(flops) else None,
     }))
 
 

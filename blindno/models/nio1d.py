@@ -14,7 +14,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from blindno.nn.cnn import Encoder1D
+from blindno.nn.cnn import Encoder1D, EncoderODE
 from blindno.nn.deeponet import FFN, DeepOnetNoBias
 from blindno.nn.fno import FNO1d
 from blindno.nn.setops import MeanFieldFusion, subsample_set
@@ -56,6 +56,35 @@ class NIOFP1D(nn.Module):
             for d in self.head_dims
         ]
         return jnp.concatenate(outs, axis=-1)
+
+
+class NIOFPOde(nn.Module):
+    """ODE-observation NIO vestige (``2d_FPE/NIOModules.py:655-717``): EncoderODE
+    branch + FFN trunk DeepONet, mean-field fusion, single FNO1d head. Never trained
+    by any reference script; kept for component parity."""
+
+    input_dimensions_trunk: int = 1
+    n_hidden_layers: int = 3
+    neurons: int = 100
+    n_basis: int = 25
+    fno_layers: int = 3
+    width: int = 30
+    modes: int = 15
+    output_dim: int = 1
+    l_min: int = 50
+
+    @nn.compact
+    def __call__(self, x, grid, *, training: bool = False):
+        if training:
+            x, mask = subsample_set(self.make_rng("sample"), x, self.l_min, training)
+        else:
+            mask = None
+        branch = EncoderODE(self.n_basis)
+        trunk = FFN(self.input_dimensions_trunk, self.n_basis, self.n_hidden_layers, self.neurons)
+        fields = DeepOnetNoBias(branch, trunk)(x, grid, training=training)  # (B, L, N)
+        grid_feats = jnp.broadcast_to(grid[None], (x.shape[0],) + grid.shape)
+        fused = MeanFieldFusion(self.width, grid_channels=1)(grid_feats, fields, mask)
+        return FNO1d(self.modes, self.width, self.fno_layers, self.width, self.output_dim)(fused)
 
 
 class NIOFNO1D(nn.Module):

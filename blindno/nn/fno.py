@@ -29,11 +29,13 @@ class SpectralConv1d(nn.Module):
     dc_half: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         scale = 1.0 / (self.in_channels * self.out_channels)
         shape = (self.in_channels, self.out_channels, self.modes)
         wr = self.param("weights_re", tinit.spectral_uniform(scale), shape)
         wi = self.param("weights_im", tinit.spectral_uniform(scale), shape)
+        if return_weights:  # fused-layer path: parent consumes the params directly
+            return wr, wi
         if spectral_impl() == "pallas":
             from blindno.ops.spectral_pallas import spectral_conv1d_pallas
 
@@ -50,11 +52,13 @@ class SpectralConv2d(nn.Module):
     modes2: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         scale = 1.0 / (self.in_channels * self.out_channels)
         shape = (self.in_channels, self.out_channels, 2 * self.modes1, self.modes2)
         wr = self.param("weights_re", tinit.spectral_uniform(scale), shape)
         wi = self.param("weights_im", tinit.spectral_uniform(scale), shape)
+        if return_weights:  # fused-layer path: parent consumes the params directly
+            return wr, wi
         if spectral_impl() == "pallas":
             from blindno.ops.spectral_pallas import spectral_conv2d_pallas
 
@@ -86,9 +90,11 @@ class PointwiseConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):  # (B, C, *spatial)
+    def __call__(self, x, return_weights: bool = False):  # (B, C, *spatial)
         kernel = self.param("kernel", tinit.torch_linear_kernel, (x.shape[1], self.features))
         bias = self.param("bias", tinit.torch_bias_for_fan_in(x.shape[1]), (self.features,))
+        if return_weights:  # fused-layer path: parent consumes the params directly
+            return kernel, bias
         y = jnp.einsum("bc...,co->bo...", x, kernel)
         return y + bias.reshape((1, -1) + (1,) * (x.ndim - 2))
 
@@ -110,12 +116,21 @@ class FNO1d(nn.Module):
         n = x.shape[-1]
         pad = int(round(n * self.padding_frac))
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        fused = spectral_impl() == "pallas_fused"
         for k in range(self.n_layers):
-            x1 = SpectralConv1d(self.width, self.width, self.modes)(x)
-            x2 = PointwiseConv(self.width)(x)
-            x = x1 + x2
-            if k != self.n_layers - 1:
-                x = gelu(x)
+            sc = SpectralConv1d(self.width, self.width, self.modes)
+            pc = PointwiseConv(self.width)
+            if fused:
+                from blindno.ops.fno_layer import fno1d_layer
+
+                wr, wi = sc(x, return_weights=True)
+                pk, pb = pc(x, return_weights=True)
+                x = fno1d_layer(x, wr, wi, pk, pb, dc_half=sc.dc_half,
+                                apply_act=k != self.n_layers - 1)
+            else:
+                x = sc(x) + pc(x)
+                if k != self.n_layers - 1:
+                    x = gelu(x)
         x = x[..., :n]
         x = jnp.swapaxes(x, -1, -2)
         x = TorchDense(128)(x)  # fc1
@@ -145,12 +160,20 @@ class FNO2d(nn.Module):
         pad_w = int(round(w * self.padding_frac))
         pad_h = int(round(h * self.padding_frac))
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
+        fused = spectral_impl() == "pallas_fused"
         for k in range(self.n_layers):
-            x1 = SpectralConv2d(self.width, self.width, self.modes, self.modes)(x)
-            x2 = PointwiseConv(self.width)(x)
-            x = x1 + x2
-            if k != self.n_layers - 1:
-                x = gelu(x)
+            sc = SpectralConv2d(self.width, self.width, self.modes, self.modes)
+            pc = PointwiseConv(self.width)
+            if fused:
+                from blindno.ops.fno_layer import fno2d_layer
+
+                wr, wi = sc(x, return_weights=True)
+                pk, pb = pc(x, return_weights=True)
+                x = fno2d_layer(x, wr, wi, pk, pb, apply_act=k != self.n_layers - 1)
+            else:
+                x = sc(x) + pc(x)
+                if k != self.n_layers - 1:
+                    x = gelu(x)
         x = x[..., :h, :w]
         x = jnp.moveaxis(x, 1, -1)
         x = TorchDense(128)(x)

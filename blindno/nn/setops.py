@@ -37,6 +37,12 @@ def subsample_set(key, x, l_min: int = 50, training: bool = True):
     ``mask[t] = 1[t < L]`` with ``L ~ U{l_min, ..., L_max-1}`` and x_gathered is x
     indexed by L_max with-replacement draws (same distribution as the reference's
     ``np.random.choice(L_max, L)`` followed by dense compute on L items).
+
+    BN caveat: all L_max gathered items flow through downstream per-snapshot encoders,
+    so BatchNorm batch statistics are computed over L_max items rather than the
+    reference's L selected items. Masked means/attention are distributionally
+    identical; BN statistics differ only in that masked-out items (draws from the same
+    distribution) also contribute — practical impact negligible.
     """
     l_max = x.shape[1]
     if not training:

@@ -1,20 +1,27 @@
 """Runtime selection of the spectral-conv implementation.
 
-``set_spectral_impl('pallas')`` routes all SpectralConv modules through the fused
-Pallas TPU kernels; 'jnp' (default) uses the XLA-fused truncated-DFT matmul path.
-Read at trace time, so flip it before jit-compiling.
+Three interchangeable paths, read at trace time (flip before jit-compiling):
+- 'jnp' (default)   — XLA-fused truncated-DFT matmul chain.
+- 'pallas'          — Pallas spectral-conv kernels (forward only; no AD rule).
+- 'pallas_fused'    — fully-fused Pallas FNO *layer* kernels (spectral + pointwise
+  residual in one VMEM-resident kernel) with a custom VJP, usable in training
+  (:mod:`blindno.ops.fno_layer`). 1D/2D only; 3D always uses 'jnp'.
+
+The default is chosen by measurement: see ``scripts/bench_variants.py`` results in
+``runs/logs/bench_variants*.json``.
 """
 from __future__ import annotations
 
 import os
 
+_IMPLS = ("jnp", "pallas", "pallas_fused")
 _IMPL = os.environ.get("BLINDNO_SPECTRAL_IMPL", "jnp")
 
 
 def set_spectral_impl(impl: str):
     global _IMPL
-    if impl not in ("jnp", "pallas"):
-        raise ValueError(f"unknown spectral impl {impl!r} (want 'jnp' or 'pallas')")
+    if impl not in _IMPLS:
+        raise ValueError(f"unknown spectral impl {impl!r} (want one of {_IMPLS})")
     _IMPL = impl
 
 

@@ -183,8 +183,12 @@ _register(
             "fno_attn": lambda: NIOFNOAttn2D(width=12, modes=32),
             "attn": lambda: NIOAttn2D(width=12, modes=32, encoder_final_kernel=(2, 1)),
         },
-        train_cfg=TrainConfig(epochs=400, batch_size=4, lr=5e-4, save_interval=5),
-        m_train=2000,
+        # reference: bs 4/process, lr 5e-4 under multi-GPU Accelerate DDP
+        # (2d_FPE/train_nio.py:83-116) — effective batch 4*N_gpu. We train the
+        # DDP-equivalent global batch 16 with lr 2x on one chip (round-1 finding:
+        # m=2000 plateaus with a large train/test gap; m=8000 matches the 1-D suite).
+        train_cfg=TrainConfig(epochs=400, batch_size=16, lr=1e-3, save_interval=5),
+        m_train=8000,
         m_test=400,
     )
 )

@@ -20,11 +20,22 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _best_loss_of(path: str) -> float:
+    """Parse the loss out of a ``best_{loss:.6f}`` directory name."""
+    try:
+        return float(os.path.basename(path).split("_", 1)[1])
+    except (IndexError, ValueError):
+        return float("inf")
+
+
 def save_best(ckpt_dir: str, params, batch_stats, epoch: int, test_loss: float):
-    """Save best params/batch_stats to ``{dir}/best_{loss:.6f}``; delete the previous best."""
+    """Save best params/batch_stats to ``{dir}/best_{loss:.6f}``.
+
+    The new checkpoint is written BEFORE older ``best_*`` dirs are deleted, so a crash
+    mid-save never leaves the directory empty (and ``load_best`` picks the numerically
+    best if more than one survives)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    for old in glob.glob(os.path.join(ckpt_dir, "best_*")):
-        shutil.rmtree(old, ignore_errors=True)
+    olds = glob.glob(os.path.join(ckpt_dir, "best_*"))
     path = os.path.abspath(os.path.join(ckpt_dir, f"best_{test_loss:.6f}"))
     ckptr = _checkpointer()
     state = {
@@ -35,17 +46,21 @@ def save_best(ckpt_dir: str, params, batch_stats, epoch: int, test_loss: float):
     }
     ckptr.save(path, state)
     ckptr.wait_until_finished()
+    for old in olds:
+        if os.path.abspath(old) != path:
+            shutil.rmtree(old, ignore_errors=True)
     return path
 
 
 def load_best(ckpt_dir: str):
-    """Load the (single) best checkpoint in ``ckpt_dir``; tolerant of metric suffix
-    (the reference's eval scripts similarly glob metric-stamped filenames)."""
-    matches = sorted(glob.glob(os.path.join(os.path.abspath(ckpt_dir), "best_*")))
+    """Load the numerically-best checkpoint in ``ckpt_dir`` (smallest parsed loss —
+    lexicographic order would pick the WORST if multiple ``best_*`` dirs survive a
+    crash; the reference's eval scripts similarly glob metric-stamped filenames)."""
+    matches = glob.glob(os.path.join(os.path.abspath(ckpt_dir), "best_*"))
     if not matches:
         raise FileNotFoundError(f"no best_* checkpoint under {ckpt_dir}")
     ckptr = _checkpointer()
-    return ckptr.restore(matches[-1])
+    return ckptr.restore(min(matches, key=_best_loss_of))
 
 
 def save_resume(ckpt_dir: str, params, batch_stats, opt_state, epoch: int,
@@ -74,11 +89,22 @@ def save_resume(ckpt_dir: str, params, batch_stats, opt_state, epoch: int,
 
 
 def load_resume(ckpt_dir: str, target):
-    """Restore into ``target`` (a dict with the same structure as saved)."""
+    """Restore into ``target`` (a dict with the same structure as saved).
+
+    Rejects non-finite restored params (a poisoned resume file from a diverged run
+    must not silently seed the next run — observed in round 1 with fpe2d_unet)."""
     import flax.serialization as fser
+    import numpy as np
 
     path = os.path.join(ckpt_dir, "resume.msgpack")
     if not os.path.exists(path):
         return None
     with open(path, "rb") as fh:
-        return fser.from_bytes(target, fh.read())
+        state = fser.from_bytes(target, fh.read())
+    leaves = jax.tree.leaves(state["params"])
+    if any(not np.all(np.isfinite(np.asarray(l))) for l in leaves):
+        quarantine = path + ".poisoned"
+        os.replace(path, quarantine)
+        print(f"[checkpoint] resume state has non-finite params; quarantined -> {quarantine}")
+        return None
+    return state

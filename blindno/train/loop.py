@@ -190,8 +190,10 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         return (errs * sample_mask[:, None]).sum(axis=0)
 
     logger = MetricsLogger(cfg.log_path)
-    best_params = params
-    best_stats = batch_stats
+    # copy, don't alias: params/batch_stats buffers are donated to train_step, so an
+    # aliased best_params would reference deleted arrays if no eval ever improves it
+    best_params = jax.tree.map(lambda a: a.copy(), params)
+    best_stats = jax.tree.map(lambda a: a.copy(), batch_stats)
     history = []
     n_test = test_idx.shape[0]
     test_batches = [
@@ -243,6 +245,11 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
             logger.log(record)
             if progress:
                 progress(record)
+            if not np.isfinite(test_loss):
+                # never checkpoint a poisoned state: a NaN test loss means the params
+                # are already non-finite; stop and leave the last finite resume state
+                logger.log({"event": "diverged", "epoch": epoch, "test_loss": test_loss})
+                break
             if test_loss < best_loss:
                 best_loss = test_loss
                 best_params = jax.tree.map(lambda a: a.copy(), params)

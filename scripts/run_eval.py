@@ -44,12 +44,11 @@ def main():
     for name in trained:
         if "_" not in name:
             continue
-        parts = name.rsplit("_", 1)
-        # suite names contain underscores (gpe1d_vgk): resolve greedily
-        suite, model = None, None
-        for s in SUITES:
-            if name.startswith(s + "_"):
-                suite, model = s, name[len(s) + 1:]
+        # suite names contain underscores (gpe1d_vgk): take the LONGEST matching
+        # suite prefix, not the last registration-order match
+        matches = [s for s in SUITES if name.startswith(s + "_")]
+        suite = max(matches, key=len) if matches else None
+        model = name[len(suite) + 1:] if suite else None
         if suite is None or model not in SUITES[suite].models:
             print(f"skip unknown ckpt dir {name}")
             continue

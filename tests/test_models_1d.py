@@ -63,3 +63,16 @@ def test_train_mode_runs_and_grads(rng):
     # but FNO head grads flow
     leaves = jax.tree.leaves(grads)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_niofp_ode_forward(rng):
+    """NIOFPOde vestige (2d_FPE/NIOModules.py:655-717): (B, L, 11) obs -> (B, N, 1)."""
+    from blindno.models.nio1d import NIOFPOde
+
+    x = jnp.asarray(rng.standard_normal((2, 20, 11)).astype(np.float32))
+    grid = jnp.linspace(0, 1, 100, dtype=jnp.float32).reshape(100, 1)
+    model = NIOFPOde(width=8, modes=8, n_basis=5, neurons=16)
+    variables = model.init(jax.random.PRNGKey(0), x, grid)
+    out = model.apply(variables, x, grid)
+    assert out.shape == (2, 100, 1)
+    assert np.isfinite(np.asarray(out)).all()
