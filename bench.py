@@ -11,13 +11,16 @@ Baseline: the reference publishes no throughput numbers (BASELINE.md). The ancho
 MEASURED on this host by ``scripts/bench_torch_baseline.py`` (a faithful torch
 restatement of the reference model/step at the same config, run on host CPU; results
 committed in ``runs/logs/torch_baseline.json``), scaled to an A100 estimate:
-``A100_EST = torch_cpu_steps_per_sec * CPU_TO_A100``. CPU_TO_A100 = 25 is the assumed
-A100-vs-this-host speedup for this op mix (hundreds of small-batch cuDNN convs +
-cuFFT FNO layers; conservative — A100 typically gains 20-50x over a few CPU cores on
-conv-heavy fp32 training). If the measured file is absent, falls back to the fixed
-estimate 12 steps/s. The JSON line also reports measured FLOPs/step (XLA cost
-analysis) and the achieved TFLOP/s so the claim is auditable independent of any
-baseline assumption.
+``A100_EST = torch_cpu_steps_per_sec * CPU_TO_A100``. CPU_TO_A100 = 165 is the assumed
+A100-vs-this-host speedup for this op mix (hundreds of small-batch cuDNN convs with up
+to 512 channels + cuFFT FNO layers): measured torch-CPU is 0.073 steps/s (13.7 s/step,
+runs/logs/torch_baseline.json), and an A100 sustaining ~25 TF effective on the step's
+~2 TFLOP of work gives ~12 steps/s — factor 165. This deliberately GENEROUS baseline
+(an A100 beating a CPU by 165x) matches the independent component-level estimate used
+in round 1, so vs_baseline is comparable across rounds and conservative in the
+baseline's favor. If the measured file is absent, falls back to the fixed 12 steps/s.
+The JSON line also reports measured FLOPs/step (XLA cost analysis) and achieved
+TFLOP/s so the claim is auditable independent of any baseline assumption.
 """
 import json
 import os
@@ -25,7 +28,7 @@ import time
 
 import numpy as np
 
-CPU_TO_A100 = 25.0
+CPU_TO_A100 = 165.0
 FALLBACK_A100_EST = 12.0
 
 

@@ -187,7 +187,9 @@ _register(
         # (2d_FPE/train_nio.py:83-116) — effective batch 4*N_gpu. We train the
         # DDP-equivalent global batch 16 with lr 2x on one chip (round-1 finding:
         # m=2000 plateaus with a large train/test gap; m=8000 matches the 1-D suite).
-        train_cfg=TrainConfig(epochs=400, batch_size=16, lr=1e-3, save_interval=5),
+        # compress_inputs: the m=8000 snapshot tensor is ~12 GB in f32 vs 16 GB HBM.
+        train_cfg=TrainConfig(epochs=400, batch_size=16, lr=1e-3, save_interval=5,
+                              compress_inputs=True),
         m_train=8000,
         m_test=400,
     )

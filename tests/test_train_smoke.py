@@ -65,3 +65,20 @@ def test_divergence_guard_stops_training():
     res = train_model(model, ds, grid, cfg)
     # stopped well before 50 epochs with no finite best
     assert len(res.history) < 10
+
+
+def test_compress_inputs_trains_equivalently(tmp_path):
+    """bf16 input storage (TrainConfig.compress_inputs) must train to a similar loss
+    as f32 storage — compute stays f32, only the device-resident dataset is bf16."""
+    import dataclasses
+
+    d = G.generate_fpe1d(seed=7, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    cfg = TrainConfig(epochs=2, batch_size=8, save_interval=1)
+    res_f32 = train_model(model, ds, grid, cfg)
+    res_bf16 = train_model(model, ds, grid, dataclasses.replace(cfg, compress_inputs=True))
+    assert np.isfinite(res_bf16.best_test_loss)
+    # quantizing inputs to bf16 (~0.4% rel) must not change training materially
+    assert abs(res_bf16.best_test_loss - res_f32.best_test_loss) < 0.1 * res_f32.best_test_loss
