@@ -203,8 +203,11 @@ def _spiral_on_grid(gx, gy, p):
 def generate_ncfpe2d(seed: int, m: int, n_snapshots: int = 100, tf: float = 10e-3,
                      nsteps: int = 500, resolution: float = 10 * NM,
                      extent=(800 * NM, 800 * NM), init_center=(-150 * NM, -150 * NM),
-                     init_width: float = 30 * NM, batch: int = 4):
-    """2-D FPE driven by a non-conservative spiral force (``testdata_gen.py``)."""
+                     init_width: float = 30 * NM, batch: int = 2):
+    """2-D FPE driven by a non-conservative spiral force (``testdata_gen.py``).
+
+    batch=2: expm's LU block on the 6400^2 generator is f32[b,6400,128] in scoped
+    VMEM; b=4 exceeds the 16 MB limit on v5e (observed compile failure), b=2 fits."""
     rng = np.random.default_rng(seed)
     axes = [np.asarray(a) for a in grid_from_extent(extent, resolution)]
     gx, gy = np.meshgrid(axes[0], axes[1], indexing="ij")
