@@ -99,11 +99,17 @@ def _fno2d_layer_kernel(x_ref, fyre_ref, fyim_ref, fxre_ref, fxim_ref,
     fxre, fxim = fxre_ref[...], fxim_ref[...]
     xr = ein("chm,hk->ckm", yr, fxre) - ein("chm,hk->ckm", yi, fxim)
     xi = ein("chm,hk->ckm", yr, fxim) + ein("chm,hk->ckm", yi, fxre)
-    # per-mode channel mix
-    wr, wi = wr_ref[...], wi_ref[...]
-    mix = lambda a, b: ein("ikm,iokm->okm", a, b)
-    outr = mix(xr, wr) - mix(xi, wi)
-    outi = mix(xr, wi) + mix(xi, wr)
+    # per-mode channel mix; Mosaic's tpu.matmul supports at most ONE batch dim, so
+    # the (k, m) mode axes are collapsed to a single z = k*m batch axis
+    kk, mm = xr.shape[1], xr.shape[2]
+    cout = wr_ref.shape[1]
+    wr = wr_ref[...].reshape(c, cout, kk * mm)
+    wi = wi_ref[...].reshape(c, cout, kk * mm)
+    xr = xr.reshape(c, kk * mm)
+    xi = xi.reshape(c, kk * mm)
+    mix = lambda a, b: ein("iz,ioz->oz", a, b)
+    outr = (mix(xr, wr) - mix(xi, wi)).reshape(cout, kk, mm)
+    outi = (mix(xr, wi) + mix(xi, wr)).reshape(cout, kk, mm)
     # inverse
     gxre, gxim = gxre_ref[...], gxim_ref[...]
     zr = ein("okm,kh->ohm", outr, gxre) - ein("okm,kh->ohm", outi, gxim)
@@ -202,16 +208,23 @@ def spectral_conv2d_pallas(x, wr, wi, interpret: bool = False):
     def kernel(x_ref, fyre_ref, fyim_ref, fxre_ref, fxim_ref,
                gxre_ref, gxim_ref, gyre_ref, gyim_ref, wr_ref, wi_ref, out_ref):
         xx = x_ref[0]
+        cc = xx.shape[0]
         ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
         yr = ein("chw,wm->chm", xx, fyre_ref[...])
         yi = ein("chw,wm->chm", xx, fyim_ref[...])
         fxre_, fxim_ = fxre_ref[...], fxim_ref[...]
         xr = ein("chm,hk->ckm", yr, fxre_) - ein("chm,hk->ckm", yi, fxim_)
         xi = ein("chm,hk->ckm", yr, fxim_) + ein("chm,hk->ckm", yi, fxre_)
-        wr_, wi_ = wr_ref[...], wi_ref[...]
-        mix = lambda a, b: ein("ikm,iokm->okm", a, b)
-        outr = mix(xr, wr_) - mix(xi, wi_)
-        outi = mix(xr, wi_) + mix(xi, wr_)
+        # single-batch-dim mix (Mosaic tpu.matmul limit): collapse (k, m) -> z
+        kk, mm = xr.shape[1], xr.shape[2]
+        co = wr_ref.shape[1]
+        wr_ = wr_ref[...].reshape(cc, co, kk * mm)
+        wi_ = wi_ref[...].reshape(cc, co, kk * mm)
+        xr = xr.reshape(cc, kk * mm)
+        xi = xi.reshape(cc, kk * mm)
+        mix = lambda a, b: ein("iz,ioz->oz", a, b)
+        outr = (mix(xr, wr_) - mix(xi, wi_)).reshape(co, kk, mm)
+        outi = (mix(xr, wi_) + mix(xi, wr_)).reshape(co, kk, mm)
         gxre_, gxim_ = gxre_ref[...], gxim_ref[...]
         zr = ein("okm,kh->ohm", outr, gxre_) - ein("okm,kh->ohm", outi, gxim_)
         zi = ein("okm,kh->ohm", outr, gxim_) + ein("okm,kh->ohm", outi, gxre_)

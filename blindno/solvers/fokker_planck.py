@@ -127,15 +127,59 @@ def propagate_eigh(potential, diffusion, resolution, beta, p0, times):
     return pt
 
 
+def expm_markov(m, dt, eps: float = 1e-7, max_terms: int = 1024):
+    """Matmul-only ``expm(m * dt)`` for a Markov generator, via uniformization.
+
+    ``e^{M dt} = e^{-a} sum_k a^k/k! P^k`` with ``P = I + M/lam`` (column-stochastic
+    for ``lam >= max |M_ii|``) and ``a = lam dt``. Every term is a plain matmul — no
+    LU/triangular solves, so it maps directly onto the MXU. (jax.scipy's Pade expm
+    uses an LU custom call whose scoped-VMEM stack blows the 16 MB v5e limit for
+    N >= ~6400; observed on the NC suite's 80x80 generator.) The truncated series is
+    renormalized by the accumulated Poisson mass, which preserves column sums (mass
+    conservation) exactly. Requires ``a = lam*dt`` well below ~80 in f32 (``e^{-a}``
+    underflow); our datasets have a ~ 5-20.
+    """
+    n = m.shape[0]
+    lam = jnp.max(-jnp.diagonal(m)) * (1.0 + 1e-6) + jnp.asarray(1e-300, m.dtype)
+    a = lam * dt
+    p = jnp.eye(n, dtype=m.dtype) + m / lam
+
+    def cond(c):
+        k, pk, acc, w, wsum = c
+        return (wsum < 1.0 - eps) & (k < max_terms)
+
+    def body(c):
+        k, pk, acc, w, wsum = c
+        acc = acc + w * pk
+        wsum = wsum + w
+        pk = jnp.dot(p, pk, preferred_element_type=m.dtype)
+        w = w * a / (k + 1.0)
+        return (k + 1.0, pk, acc, w, wsum)
+
+    zero = jnp.zeros((), m.dtype)
+    init = (zero, jnp.eye(n, dtype=m.dtype), jnp.zeros_like(m), jnp.exp(-a), zero)
+    _, _, acc, _, wsum = jax.lax.while_loop(cond, body, init)
+    return acc / wsum
+
+
+# jax.scipy expm's LU block breaks the v5e scoped-VMEM limit above roughly this size
+_EXPM_MARKOV_MIN_N = 4096
+
+
 def propagate_expm(potential, diffusion, resolution, beta, p0, times, force=None):
     """Propagation via one dense ``expm`` of the per-step propagator + matvec scan.
 
     ``times`` must be uniformly spaced starting at 0 (the fplanck
     ``propagate_interval`` output grid). Works for non-conservative force fields.
+    Large generators (N >= 4096, i.e. the 80x80 NC grid) use the matmul-only
+    :func:`expm_markov`; smaller ones keep jax.scipy's Pade ``expm``.
     """
     m = build_generator(potential, diffusion, resolution, beta, force=force)
     dt = times[1] - times[0]
-    prop = jax.scipy.linalg.expm(m * dt)
+    if m.shape[0] >= _EXPM_MARKOV_MIN_N:
+        prop = expm_markov(m, dt)
+    else:
+        prop = jax.scipy.linalg.expm(m * dt)
 
     def step(p, _):
         p_next = prop @ p

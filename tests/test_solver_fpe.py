@@ -149,3 +149,39 @@ def test_constant_force_tilts_distribution(x64):
     pi = np.exp(beta * fmag * x)
     pi /= pi.sum()
     np.testing.assert_allclose(np.asarray(pt[-1]), pi, rtol=5e-3, atol=1e-9)
+
+
+def test_expm_markov_matches_pade(x64):
+    """The matmul-only uniformization expm (used for N>=4096 generators where the
+    Pade LU block exceeds v5e scoped VMEM) must match jax.scipy expm, including with
+    a non-conservative force."""
+    from blindno.solvers.fokker_planck import build_generator, expm_markov
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(-1, 1, 24)
+    gx, gy = np.meshgrid(x, x, indexing="ij")
+    u = jnp.asarray(np.exp(-(gx**2 + gy**2)), jnp.float64) * 2.0
+    f = jnp.asarray(rng.standard_normal((2, 24, 24)), jnp.float64) * 0.5
+    m = build_generator(u, 0.7, 2.0 / 23, beta=1.0, force=f)
+    dt = 0.05  # lam*dt in the same regime as the NC datasets (a ~ 5-20)
+    want = jax.scipy.linalg.expm(m * dt)
+    got = expm_markov(m, dt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
+    # column sums are exactly preserved (mass conservation of the propagator)
+    np.testing.assert_allclose(np.asarray(got.sum(axis=0)), 1.0, atol=1e-9)
+
+
+def test_expm_markov_f32_vmapped(rng):
+    """f32 + vmap path as used by the NC datagen batch solve."""
+    from blindno.solvers.fokker_planck import build_generator, expm_markov
+
+    x = np.linspace(-1, 1, 16)
+    gx, gy = np.meshgrid(x, x, indexing="ij")
+    us = jnp.asarray(rng.standard_normal((3, 16, 16)).astype(np.float32))
+
+    def prop(u):
+        m = build_generator(u, 0.5, 2.0 / 15, beta=1.0)
+        return expm_markov(m, 0.02), jax.scipy.linalg.expm(m * 0.02)
+
+    got, want = jax.vmap(prop)(us)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-6)
