@@ -36,13 +36,14 @@ def _fno1d_layer_kernel(x_ref, fre_ref, fim_ref, gre_ref, gim_ref,
     xi = dot(x, fim_ref[...])
     wr = wr_ref[...]  # (Cin, Cout, modes)
     wi = wi_ref[...]
-    mix = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((1,), (2,))),
-        preferred_element_type=jnp.float32,
-    )  # (C, k) x (Cin, Cout, k) -> (k, Cout) batched over k
-    outr = mix(xr, wr) - mix(xi, wi)  # (k, Cout)
+    # per-mode channel mix: out[o,k] = sum_i x[i,k] w[i,o,k]. The per-mode matrices
+    # are tiny (<= 30x30), so a batched matmul would waste the 128x128 MXU (and
+    # Mosaic's tpu.matmul rejects mismatched batch-dim positions); broadcast-multiply
+    # + reduce runs on the VPU instead.
+    mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)  # -> (Cout, k)
+    outr = mix(xr, wr) - mix(xi, wi)  # (Cout, k)
     outi = mix(xr, wi) + mix(xi, wr)
-    spec = dot(outr.T, gre_ref[...]) + dot(outi.T, gim_ref[...])  # (Cout, N)
+    spec = dot(outr, gre_ref[...]) + dot(outi, gim_ref[...])  # (Cout, N)
     pw = dot(pw_ref[...].T, x) + pb_ref[...].reshape(-1, 1)  # (Cout, N)
     y = spec + pw
     if apply_act:
@@ -99,15 +100,18 @@ def _fno2d_layer_kernel(x_ref, fyre_ref, fyim_ref, fxre_ref, fxim_ref,
     fxre, fxim = fxre_ref[...], fxim_ref[...]
     xr = ein("chm,hk->ckm", yr, fxre) - ein("chm,hk->ckm", yi, fxim)
     xi = ein("chm,hk->ckm", yr, fxim) + ein("chm,hk->ckm", yi, fxre)
-    # per-mode channel mix; Mosaic's tpu.matmul supports at most ONE batch dim, so
-    # the (k, m) mode axes are collapsed to a single z = k*m batch axis
+    # per-mode channel mix: out[o,z] = sum_i x[i,z] w[i,o,z] over the collapsed
+    # z = k*m mode axis. The per-mode matrices are tiny (width <= 12), so this is
+    # VPU work (broadcast-multiply + reduce), not a batched matmul — Mosaic's
+    # tpu.matmul also rejects the mismatched batch-dim positions a batched
+    # dot_general would need here.
     kk, mm = xr.shape[1], xr.shape[2]
     cout = wr_ref.shape[1]
     wr = wr_ref[...].reshape(c, cout, kk * mm)
     wi = wi_ref[...].reshape(c, cout, kk * mm)
     xr = xr.reshape(c, kk * mm)
     xi = xi.reshape(c, kk * mm)
-    mix = lambda a, b: ein("iz,ioz->oz", a, b)
+    mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)  # -> (Cout, z)
     outr = (mix(xr, wr) - mix(xi, wi)).reshape(cout, kk, mm)
     outi = (mix(xr, wi) + mix(xi, wr)).reshape(cout, kk, mm)
     # inverse
@@ -169,13 +173,11 @@ def spectral_conv1d_pallas(x, wr, wi, dc_half: bool = True, interpret: bool = Fa
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         xr = dot(xx, fre_ref[...])
         xi = dot(xx, fim_ref[...])
-        mix = lambda a, b: jax.lax.dot_general(
-            a, b, dimension_numbers=(((0,), (0,)), ((1,), (2,))),
-            preferred_element_type=jnp.float32,
-        )
+        # VPU per-mode channel mix; see _fno1d_layer_kernel
+        mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)
         outr = mix(xr, wr_ref[...]) - mix(xi, wi_ref[...])
         outi = mix(xr, wi_ref[...]) + mix(xi, wr_ref[...])
-        out_ref[0] = dot(outr.T, gre_ref[...]) + dot(outi.T, gim_ref[...])
+        out_ref[0] = dot(outr, gre_ref[...]) + dot(outi, gim_ref[...])
 
     return pl.pallas_call(
         kernel,
@@ -215,14 +217,15 @@ def spectral_conv2d_pallas(x, wr, wi, interpret: bool = False):
         fxre_, fxim_ = fxre_ref[...], fxim_ref[...]
         xr = ein("chm,hk->ckm", yr, fxre_) - ein("chm,hk->ckm", yi, fxim_)
         xi = ein("chm,hk->ckm", yr, fxim_) + ein("chm,hk->ckm", yi, fxre_)
-        # single-batch-dim mix (Mosaic tpu.matmul limit): collapse (k, m) -> z
+        # VPU per-mode channel mix over the collapsed z = k*m mode axis;
+        # see _fno2d_layer_kernel
         kk, mm = xr.shape[1], xr.shape[2]
         co = wr_ref.shape[1]
         wr_ = wr_ref[...].reshape(cc, co, kk * mm)
         wi_ = wi_ref[...].reshape(cc, co, kk * mm)
         xr = xr.reshape(cc, kk * mm)
         xi = xi.reshape(cc, kk * mm)
-        mix = lambda a, b: ein("iz,ioz->oz", a, b)
+        mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)
         outr = (mix(xr, wr_) - mix(xi, wi_)).reshape(co, kk, mm)
         outi = (mix(xr, wi_) + mix(xi, wr_)).reshape(co, kk, mm)
         gxre_, gxim_ = gxre_ref[...], gxim_ref[...]
