@@ -28,23 +28,38 @@ def _gelu(x):
 
 # ------------------------------------------------------------------ 1D
 
+def _mix1d(xr, xi, wr_ref, wi_ref):
+    """Per-mode channel mix out[o,k] = sum_i x[i,k] w[i,o,k] in strictly-2D tiles.
+
+    The per-mode matrices are tiny (<= 30x30), so this is VPU work; a batched matmul
+    would waste the 128x128 MXU, and Mosaic rejects both the mismatched-batch-dim
+    dot_general and reshapes/broadcasts that touch the minor (lane) dim. Unrolled
+    multiply-accumulate over Cin with row-broadcast (1, modes) factors lowers cleanly.
+    """
+    c = xr.shape[0]
+    outr = outi = None
+    for i in range(c):
+        xri = xr[i][None, :]  # (1, modes)
+        xii = xi[i][None, :]
+        wri = wr_ref[i]  # (Cout, modes)
+        wii = wi_ref[i]
+        pr = wri * xri - wii * xii
+        pi = wii * xri + wri * xii
+        outr = pr if outr is None else outr + pr
+        outi = pi if outi is None else outi + pi
+    return outr, outi
+
+
 def _fno1d_layer_kernel(x_ref, fre_ref, fim_ref, gre_ref, gim_ref,
                         wr_ref, wi_ref, pw_ref, pb_ref, out_ref, *, apply_act):
     x = x_ref[0]  # (C, N)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     xr = dot(x, fre_ref[...])  # (C, modes)
     xi = dot(x, fim_ref[...])
-    wr = wr_ref[...]  # (Cin, Cout, modes)
-    wi = wi_ref[...]
-    # per-mode channel mix: out[o,k] = sum_i x[i,k] w[i,o,k]. The per-mode matrices
-    # are tiny (<= 30x30), so a batched matmul would waste the 128x128 MXU (and
-    # Mosaic's tpu.matmul rejects mismatched batch-dim positions); broadcast-multiply
-    # + reduce runs on the VPU instead.
-    mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)  # -> (Cout, k)
-    outr = mix(xr, wr) - mix(xi, wi)  # (Cout, k)
-    outi = mix(xr, wi) + mix(xi, wr)
+    outr, outi = _mix1d(xr, xi, wr_ref, wi_ref)  # (Cout, modes)
     spec = dot(outr, gre_ref[...]) + dot(outi, gim_ref[...])  # (Cout, N)
-    pw = dot(pw_ref[...].T, x) + pb_ref[...].reshape(-1, 1)  # (Cout, N)
+    # pw_ref holds the pre-transposed (Cout, Cin) kernel, pb_ref a (Cout, 1) column
+    pw = dot(pw_ref[...], x) + pb_ref[...]  # (Cout, N)
     y = spec + pw
     if apply_act:
         y = _gelu(y)
@@ -75,55 +90,76 @@ def fno1d_layer_pallas(x, wr, wi, pw_kernel, pw_bias, *, dc_half: bool = True,
             pl.BlockSpec((modes, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, cout, modes), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, cout, modes), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, cout, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, cout, n), x.dtype),
         interpret=interpret,
-    )(x, fre, fim, gre, gim, wr, wi, pw_kernel, pw_bias)
+    )(x, fre, fim, gre, gim, wr, wi, pw_kernel.T, pw_bias.reshape(-1, 1))
 
 
 # ------------------------------------------------------------------ 2D
+#
+# Mosaic constraints shape the 2-D kernels: reshapes/broadcasts touching the minor
+# (lane) dims do not lower ("unsupported shape cast" on e.g. (76,12,32)->(76,384)),
+# and batched tpu.matmul requires matching batch-dim positions. So the whole chain is
+# expressed in strictly 2-D tiles: an unrolled per-channel loop of plain matmuls for
+# the separable DFTs, and an unrolled (Cin x Cout) multiply-accumulate for the
+# per-mode channel mix (the per-mode matrices are <= 12x12 — VPU work either way).
+# Channel counts are <= 12 here, so the unroll stays small.
 
-def _fno2d_layer_kernel(x_ref, fyre_ref, fyim_ref, fxre_ref, fxim_ref,
-                        gxre_ref, gxim_ref, gyre_ref, gyim_ref,
-                        wr_ref, wi_ref, pw_ref, pb_ref, out_ref, *, apply_act):
-    x = x_ref[0]  # (C, H, W)
-    c, h, w = x.shape
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
-    # forward truncated rDFT along W
-    yr = ein("chw,wm->chm", x, fyre_ref[...])
-    yi = ein("chw,wm->chm", x, fyim_ref[...])
-    # +/- block DFT along H
-    fxre, fxim = fxre_ref[...], fxim_ref[...]
-    xr = ein("chm,hk->ckm", yr, fxre) - ein("chm,hk->ckm", yi, fxim)
-    xi = ein("chm,hk->ckm", yr, fxim) + ein("chm,hk->ckm", yi, fxre)
-    # per-mode channel mix: out[o,z] = sum_i x[i,z] w[i,o,z] over the collapsed
-    # z = k*m mode axis. The per-mode matrices are tiny (width <= 12), so this is
-    # VPU work (broadcast-multiply + reduce), not a batched matmul — Mosaic's
-    # tpu.matmul also rejects the mismatched batch-dim positions a batched
-    # dot_general would need here.
-    kk, mm = xr.shape[1], xr.shape[2]
+
+def _spec2d_chain(x_ref, fyre_ref, fyim_ref, fxre_t_ref, fxim_t_ref,
+                  gxre_t_ref, gxim_t_ref, gyre_ref, gyim_ref, wr_ref, wi_ref):
+    """Strictly-2D spectral conv chain for one batch element.
+
+    x_ref block: (1, C, H, W); fy*: (W, m2); fx*_t: (K, H); gx*_t: (H, K);
+    gy*: (m2, W); w*: (C, Cout, K, m2) with K = 2*m1. Returns a list of Cout
+    (H, W) tiles.
+    """
+    c = x_ref.shape[1]
     cout = wr_ref.shape[1]
-    wr = wr_ref[...].reshape(c, cout, kk * mm)
-    wi = wi_ref[...].reshape(c, cout, kk * mm)
-    xr = xr.reshape(c, kk * mm)
-    xi = xi.reshape(c, kk * mm)
-    mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)  # -> (Cout, z)
-    outr = (mix(xr, wr) - mix(xi, wi)).reshape(cout, kk, mm)
-    outi = (mix(xr, wi) + mix(xi, wr)).reshape(cout, kk, mm)
-    # inverse
-    gxre, gxim = gxre_ref[...], gxim_ref[...]
-    zr = ein("okm,kh->ohm", outr, gxre) - ein("okm,kh->ohm", outi, gxim)
-    zi = ein("okm,kh->ohm", outr, gxim) + ein("okm,kh->ohm", outi, gxre)
-    spec = ein("ohm,mw->ohw", zr, gyre_ref[...]) + ein("ohm,mw->ohw", zi, gyim_ref[...])
-    pw = ein("io,ihw->ohw", pw_ref[...], x) + pb_ref[...].reshape(-1, 1, 1)
-    y = spec + pw
-    if apply_act:
-        y = _gelu(y)
-    out_ref[0] = y
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fyre, fyim = fyre_ref[...], fyim_ref[...]
+    fxre_t, fxim_t = fxre_t_ref[...], fxim_t_ref[...]
+    yr = [dot(x_ref[0, i], fyre) for i in range(c)]  # (H, m2) each
+    yi = [dot(x_ref[0, i], fyim) for i in range(c)]
+    xr = [dot(fxre_t, yr[i]) - dot(fxim_t, yi[i]) for i in range(c)]  # (K, m2)
+    xi = [dot(fxim_t, yr[i]) + dot(fxre_t, yi[i]) for i in range(c)]
+    gxre_t, gxim_t = gxre_t_ref[...], gxim_t_ref[...]
+    gyre, gyim = gyre_ref[...], gyim_ref[...]
+    outs = []
+    for o in range(cout):
+        outr = outi = None
+        for i in range(c):
+            wr_io = wr_ref[i, o]  # (K, m2)
+            wi_io = wi_ref[i, o]
+            pr = xr[i] * wr_io - xi[i] * wi_io
+            pi = xr[i] * wi_io + xi[i] * wr_io
+            outr = pr if outr is None else outr + pr
+            outi = pi if outi is None else outi + pi
+        zr = dot(gxre_t, outr) - dot(gxim_t, outi)  # (H, m2)
+        zi = dot(gxim_t, outr) + dot(gxre_t, outi)
+        outs.append(dot(zr, gyre) + dot(zi, gyim))  # (H, W)
+    return outs
+
+
+def _fno2d_layer_kernel(x_ref, fyre_ref, fyim_ref, fxre_t_ref, fxim_t_ref,
+                        gxre_t_ref, gxim_t_ref, gyre_ref, gyim_ref,
+                        wr_ref, wi_ref, pw_ref, pb_ref, out_ref, *, apply_act):
+    spec = _spec2d_chain(x_ref, fyre_ref, fyim_ref, fxre_t_ref, fxim_t_ref,
+                         gxre_t_ref, gxim_t_ref, gyre_ref, gyim_ref, wr_ref, wi_ref)
+    c = x_ref.shape[1]
+    for o in range(len(spec)):
+        pw = None
+        for i in range(c):
+            term = x_ref[0, i] * pw_ref[i, o]
+            pw = term if pw is None else pw + term
+        y = spec[o] + pw + pb_ref[o, 0]
+        if apply_act:
+            y = _gelu(y)
+        out_ref[0, o] = y
 
 
 def fno2d_layer_pallas(x, wr, wi, pw_kernel, pw_bias, *, apply_act: bool = True,
@@ -145,16 +181,17 @@ def fno2d_layer_pallas(x, wr, wi, pw_kernel, pw_bias, *, apply_act: bool = True,
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             full(w, m2), full(w, m2),
-            full(h, 2 * m1), full(h, 2 * m1),
             full(2 * m1, h), full(2 * m1, h),
+            full(h, 2 * m1), full(h, 2 * m1),
             full(m2, w), full(m2, w),
             full(c, cout, 2 * m1, m2), full(c, cout, 2 * m1, m2),
-            full(c, cout), full(cout,),
+            full(c, cout), full(cout, 1),
         ],
         out_specs=pl.BlockSpec((1, cout, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, cout, h, w), x.dtype),
         interpret=interpret,
-    )(x, fyre, fyim, fxre, fxim, gxre, gxim, gyre, gyim, wr, wi, pw_kernel, pw_bias)
+    )(x, fyre, fyim, fxre.T, fxim.T, gxre.T, gxim.T, gyre, gyim, wr, wi,
+      pw_kernel, pw_bias.reshape(-1, 1))
 
 
 # ------------------------------------------------------------------ spectral-only kernels
@@ -173,10 +210,7 @@ def spectral_conv1d_pallas(x, wr, wi, dc_half: bool = True, interpret: bool = Fa
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         xr = dot(xx, fre_ref[...])
         xi = dot(xx, fim_ref[...])
-        # VPU per-mode channel mix; see _fno1d_layer_kernel
-        mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)
-        outr = mix(xr, wr_ref[...]) - mix(xi, wi_ref[...])
-        outi = mix(xr, wi_ref[...]) + mix(xi, wr_ref[...])
+        outr, outi = _mix1d(xr, xi, wr_ref, wi_ref)
         out_ref[0] = dot(outr, gre_ref[...]) + dot(outi, gim_ref[...])
 
     return pl.pallas_call(
@@ -207,31 +241,12 @@ def spectral_conv2d_pallas(x, wr, wi, interpret: bool = False):
     gxre, gxim = dft_inverse_pm(h, m1, x.dtype)
     gyre, gyim = rdft_inverse(w, m2, x.dtype)
 
-    def kernel(x_ref, fyre_ref, fyim_ref, fxre_ref, fxim_ref,
-               gxre_ref, gxim_ref, gyre_ref, gyim_ref, wr_ref, wi_ref, out_ref):
-        xx = x_ref[0]
-        cc = xx.shape[0]
-        ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
-        yr = ein("chw,wm->chm", xx, fyre_ref[...])
-        yi = ein("chw,wm->chm", xx, fyim_ref[...])
-        fxre_, fxim_ = fxre_ref[...], fxim_ref[...]
-        xr = ein("chm,hk->ckm", yr, fxre_) - ein("chm,hk->ckm", yi, fxim_)
-        xi = ein("chm,hk->ckm", yr, fxim_) + ein("chm,hk->ckm", yi, fxre_)
-        # VPU per-mode channel mix over the collapsed z = k*m mode axis;
-        # see _fno2d_layer_kernel
-        kk, mm = xr.shape[1], xr.shape[2]
-        co = wr_ref.shape[1]
-        wr_ = wr_ref[...].reshape(cc, co, kk * mm)
-        wi_ = wi_ref[...].reshape(cc, co, kk * mm)
-        xr = xr.reshape(cc, kk * mm)
-        xi = xi.reshape(cc, kk * mm)
-        mix = lambda a, b: (a[:, None, :] * b).sum(axis=0)
-        outr = (mix(xr, wr_) - mix(xi, wi_)).reshape(co, kk, mm)
-        outi = (mix(xr, wi_) + mix(xi, wr_)).reshape(co, kk, mm)
-        gxre_, gxim_ = gxre_ref[...], gxim_ref[...]
-        zr = ein("okm,kh->ohm", outr, gxre_) - ein("okm,kh->ohm", outi, gxim_)
-        zi = ein("okm,kh->ohm", outr, gxim_) + ein("okm,kh->ohm", outi, gxre_)
-        out_ref[0] = ein("ohm,mw->ohw", zr, gyre_ref[...]) + ein("ohm,mw->ohw", zi, gyim_ref[...])
+    def kernel(x_ref, fyre_ref, fyim_ref, fxre_t_ref, fxim_t_ref,
+               gxre_t_ref, gxim_t_ref, gyre_ref, gyim_ref, wr_ref, wi_ref, out_ref):
+        spec = _spec2d_chain(x_ref, fyre_ref, fyim_ref, fxre_t_ref, fxim_t_ref,
+                             gxre_t_ref, gxim_t_ref, gyre_ref, gyim_ref, wr_ref, wi_ref)
+        for o in range(len(spec)):
+            out_ref[0, o] = spec[o]
 
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -240,12 +255,12 @@ def spectral_conv2d_pallas(x, wr, wi, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             full(w, m2), full(w, m2),
-            full(h, 2 * m1), full(h, 2 * m1),
             full(2 * m1, h), full(2 * m1, h),
+            full(h, 2 * m1), full(h, 2 * m1),
             full(m2, w), full(m2, w),
             full(c, cout, 2 * m1, m2), full(c, cout, 2 * m1, m2),
         ],
         out_specs=pl.BlockSpec((1, cout, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, cout, h, w), x.dtype),
         interpret=interpret,
-    )(x, fyre, fyim, fxre, fxim, gxre, gxim, gyre, gyim, wr, wi)
+    )(x, fyre, fyim, fxre.T, fxim.T, gxre.T, gxim.T, gyre, gyim, wr, wi)
