@@ -187,17 +187,18 @@ PLAN = [
     ("data", "schrodinger1d", None),
     ("data", "gpe1d", None),
     ("data", "fpe2d", None),
-    # headline 2-D gap first, quick 1-D retrains interleaved
+    # headline 2-D gap + the never-run NC suite first (VERDICT r1 missing #1/#2);
+    # the quick 1-D retrains follow — they reproduce round-1 numbers
     ("train", "fpe2d", "nio"),
-    ("train", "fpe1d", "nio"),
-    ("train", "fpe1d", "fno"),
-    ("train", "fpe1d", "unet"),
     ("train", "fpe2d", "fno"),
     ("train", "fpe2d", "unet"),
     ("data", "ncfpe2d", None),
     ("train", "ncfpe2d", "nio"),
     ("train", "ncfpe2d", "fno"),
     ("train", "ncfpe2d", "unet"),
+    ("train", "fpe1d", "nio"),
+    ("train", "fpe1d", "fno"),
+    ("train", "fpe1d", "unet"),
     ("train", "schrodinger1d", "nio"),
     ("train", "schrodinger1d", "fno"),
     ("train", "schrodinger1d", "unet"),
