@@ -188,17 +188,19 @@ PLAN = [
     ("data", "gpe1d", None),
     ("data", "fpe2d", None),
     # headline 2-D gap + the never-run NC suite first (VERDICT r1 missing #1/#2);
-    # the quick 1-D retrains follow — they reproduce round-1 numbers
+    # the quick 1-D retrains interleave as budget filler — they reproduce round-1
+    # numbers. fpe2d/unet (~3.5 h) is last of the 2-D queue: it is the one stage
+    # that cannot fit alongside the NC suite in this round's wall clock.
     ("train", "fpe2d", "nio"),
     ("train", "fpe2d", "fno"),
-    ("train", "fpe2d", "unet"),
     ("data", "ncfpe2d", None),
     ("train", "ncfpe2d", "nio"),
-    ("train", "ncfpe2d", "fno"),
     ("train", "ncfpe2d", "unet"),
+    ("train", "ncfpe2d", "fno"),
     ("train", "fpe1d", "nio"),
     ("train", "fpe1d", "fno"),
     ("train", "fpe1d", "unet"),
+    ("train", "fpe2d", "unet"),
     ("train", "schrodinger1d", "nio"),
     ("train", "schrodinger1d", "fno"),
     ("train", "schrodinger1d", "unet"),
