@@ -20,9 +20,20 @@ from blindno.eval.metrics import relative_l2_per_field
 from blindno.train.checkpoint import load_best
 
 
+_NPZ_CACHE: dict = {}
+
+
 def _load_npz(path):
-    with np.load(path, allow_pickle=True) as z:
-        return {k: z[k] for k in z.files}
+    """Memoized archive load (treated read-only by all callers). The fpe2d train
+    archive is ~12 GB and each (field-eval, time-error) pair otherwise reloads it
+    twice per model just to recompute normalization statistics."""
+    key = (path, os.path.getmtime(path))
+    if key not in _NPZ_CACHE:
+        while len(_NPZ_CACHE) >= 4:  # bound host RAM: one suite's train+test + slack
+            _NPZ_CACHE.pop(next(iter(_NPZ_CACHE)))
+        with np.load(path, allow_pickle=True) as z:
+            _NPZ_CACHE[key] = {k: z[k] for k in z.files}
+    return _NPZ_CACHE[key]
 
 
 def predict_fields(model, params, batch_stats, inputs_norm, grid, batch: int = 16):
