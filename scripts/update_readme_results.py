@@ -1,6 +1,11 @@
-"""Regenerate the Results section of README.md from runs/ summaries + RESULTS.json."""
-import json
+"""Regenerate the Results section of README.md from runs/ summaries + RESULTS.json.
+
+Round-aware: current-round summaries live in runs/logs/*_summary.json; earlier
+rounds' archived summaries (runs/logs/r1/ etc.) fill rows not retrained this round,
+marked with their round tag.
+"""
 import glob
+import json
 import os
 import sys
 
@@ -15,62 +20,77 @@ REF = {
     ("ncfpe2d", "nio"): 0.049776, ("ncfpe2d", "fno"): 0.067350, ("ncfpe2d", "unet"): 0.044678,
 }
 NAMES = {"nio": "NIO", "fno": "FNO-NIO", "unet": "BlinDNO"}
+ORDER = list(REF) + [("gpe1d_vgk", "nio")]
+
+
+def _collect():
+    """(suite, model) -> (best_test_loss, round_tag), current round preferred."""
+    out = {}
+    for tag, pattern in (("r1", "/root/repo/runs/logs/r1/*_summary.json"),
+                         ("", "/root/repo/runs/logs/*_summary.json")):
+        for f in sorted(glob.glob(pattern)):
+            d = json.load(open(f))
+            out[(d["suite"], d["model"])] = (d["best_test_loss"], tag)
+    return out
 
 
 def main():
-    rows = []
     results = {}
     rj = "/root/repo/runs/RESULTS.json"
     if os.path.exists(rj):
         for e in json.load(open(rj)):
             results[(e["suite"], e["model"])] = e
-    for f in sorted(glob.glob("/root/repo/runs/logs/*_summary.json")):
-        d = json.load(open(f))
-        key = (d["suite"], d["model"])
+    summaries = _collect()
+    keys = ORDER + sorted(k for k in set(summaries) | set(results) if k not in ORDER)
+
+    rows = []
+    for key in keys:
+        if key not in summaries and key not in results:
+            continue
+        suite, model = key
         ref = REF.get(key)
-        te = results.get(key, {})
-        te_s = (f"{te['time_err_mean']:.4f}" if "time_err_mean" in te else "-")
+        e = results.get(key, {})
+        te_s = f"{e['time_err_mean']:.4f}" if "time_err_mean" in e else "-"
+        if key in summaries:
+            loss, tag = summaries[key]
+        else:
+            loss, tag = e.get("best_ckpt_test_loss", float("nan")), "partial"
         status = ""
         if ref:
-            status = "**beats ref**" if d["best_test_loss"] < ref else "close" if d["best_test_loss"] < 1.15 * ref else "behind (see notes)"
-        rows.append(
-            f"| {d['suite']} | {NAMES.get(d['model'], d['model'])} | "
-            f"{d['best_test_loss']:.4f} | {ref if ref else '-'} | {te_s} | {status} |"
-        )
-    # include preempted/partial models present in RESULTS.json but without summaries
-    for (suite, model), e in sorted(results.items()):
-        if any(f"| {suite} | {NAMES.get(model, model)} |" in r for r in rows):
-            continue
-        ref = REF.get((suite, model))
-        te_s = (f"{e['time_err_mean']:.4f}" if "time_err_mean" in e else "-")
-        rows.append(
-            f"| {suite} | {NAMES.get(model, model)} | "
-            f"{e.get('best_ckpt_test_loss', float('nan')):.4f}* | {ref if ref else '-'} | {te_s} | partial (resumable) |"
-        )
+            status = ("**beats ref**" if loss < ref
+                      else "close" if loss < 1.15 * ref else "behind (see notes)")
+        if tag == "r1":
+            status = (status + ", round-1 run (not re-evaluated this round)").strip(", ")
+        elif tag == "partial":
+            status = (status + ", preempted (resumable)").strip(", ")
+        rows.append(f"| {suite} | {NAMES.get(model, model)} | {loss:.4f} | "
+                    f"{ref if ref else '-'} | {te_s} | {status} |")
 
     section = "\n".join([
-        "## Results (round 1)",
+        "## Results",
         "",
         "Best test rel-L2 (sum over output fields, reference metric incl. its",
         "full-target-denominator quirk); time-err = solution-space time-averaged",
         "density rollout error (the reference never recorded its own values).",
-        "`*` = training preempted mid-run (resumable).",
         "",
         "| Suite | Model | ours | reference | time-err | |",
         "|---|---|---|---|---|---|",
         *rows,
         "",
         "Throughput: `bench.py` measures the full 2D FPE NIO train step on one TPU",
-        "v5e chip (~65 steps/s vs ~12/s A100 PyTorch estimate).",
+        "v5e chip against a measured torch-CPU baseline scaled to an A100 estimate",
+        "(see BENCH_r*.json); `runs/logs/bench_variants.json` records the",
+        "jnp-vs-Pallas kernel comparison behind the default spectral impl.",
         "",
     ])
     readme = open("/root/repo/README.md").read()
-    marker = "## Results (round 1)"
-    if marker in readme:
-        head = readme.split(marker)[0]
-        tail_idx = readme.find("## Usage")
-        tail = readme[tail_idx:] if tail_idx > readme.find(marker) else ""
-        readme = head + section + tail
+    for marker in ("## Results (round 1)", "## Results"):
+        if marker in readme:
+            head = readme.split(marker)[0]
+            tail_idx = readme.find("## Usage")
+            tail = readme[tail_idx:] if tail_idx > readme.find(marker) else ""
+            readme = head + section + tail
+            break
     else:
         readme = readme.replace("## Usage", section + "## Usage")
     open("/root/repo/README.md", "w").write(readme)
