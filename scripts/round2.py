@@ -195,10 +195,10 @@ PLAN = [
     ("train", "fpe2d", "fno"),
     ("data", "ncfpe2d", None),
     ("train", "ncfpe2d", "nio"),
-    ("train", "ncfpe2d", "unet"),
-    ("train", "ncfpe2d", "fno"),
     ("train", "fpe1d", "nio"),
+    ("train", "ncfpe2d", "unet"),
     ("train", "fpe1d", "fno"),
+    ("train", "ncfpe2d", "fno"),
     ("train", "fpe1d", "unet"),
     ("train", "fpe2d", "unet"),
     ("train", "schrodinger1d", "nio"),
