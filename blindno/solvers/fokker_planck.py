@@ -127,7 +127,7 @@ def propagate_eigh(potential, diffusion, resolution, beta, p0, times):
     return pt
 
 
-def expm_markov(m, dt, eps: float = 1e-7, max_terms: int = 1024):
+def expm_markov(m, dt, tail_sigmas: float = 10.0, max_terms: int = 1024):
     """Matmul-only ``expm(m * dt)`` for a Markov generator, via uniformization.
 
     ``e^{M dt} = e^{-a} sum_k a^k/k! P^k`` with ``P = I + M/lam`` (column-stochastic
@@ -138,15 +138,24 @@ def expm_markov(m, dt, eps: float = 1e-7, max_terms: int = 1024):
     renormalized by the accumulated Poisson mass, which preserves column sums (mass
     conservation) exactly. Requires ``a = lam*dt`` well below ~80 in f32 (``e^{-a}``
     underflow); our datasets have a ~ 5-20.
+
+    Truncation uses a deterministic Poisson-tail bound: ``n_terms = a +
+    tail_sigmas*sqrt(a) + tail_sigmas`` (tail mass < 1e-12 at 10 sigmas). A
+    ``wsum < 1 - eps`` convergence test is NOT usable here: in f32 the accumulated
+    Poisson mass stalls one ULP below 1.0, so any eps < ~1e-6 forces the loop to
+    ``max_terms`` — observed as a 25x slowdown (1024 instead of ~40 terms) on the
+    NC suite's generators.
     """
     n = m.shape[0]
     lam = jnp.max(-jnp.diagonal(m)) * (1.0 + 1e-6) + jnp.asarray(1e-300, m.dtype)
     a = lam * dt
     p = jnp.eye(n, dtype=m.dtype) + m / lam
+    n_terms = jnp.minimum(a + tail_sigmas * jnp.sqrt(a) + tail_sigmas,
+                          jnp.asarray(float(max_terms), m.dtype))
 
     def cond(c):
         k, pk, acc, w, wsum = c
-        return (wsum < 1.0 - eps) & (k < max_terms)
+        return k < n_terms
 
     def body(c):
         k, pk, acc, w, wsum = c
