@@ -238,6 +238,11 @@ def generate_ncfpe2d(seed: int, m: int, n_snapshots: int = 100, tf: float = 10e-
                       jnp.asarray(sel[s:e]))
         trajs.append(np.asarray(out))
     trajectories = np.concatenate(trajs)
+    # the non-conservative propagator is built by a truncated matmul series; guard
+    # against any regression of the mass-conservation/precision bugs this path had
+    mass_dev = np.abs(trajectories.sum(axis=(2, 3)) - 1.0).max()
+    if mass_dev > 1e-2:
+        raise RuntimeError(f"NC datagen mass drift {mass_dev:.3e} (> 1e-2); solver regression")
     grid = np.stack([gx, gy])
     return {
         "time": times,

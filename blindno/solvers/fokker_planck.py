@@ -145,6 +145,13 @@ def expm_markov(m, dt, tail_sigmas: float = 10.0, max_terms: int = 1024):
     Poisson mass stalls one ULP below 1.0, so any eps < ~1e-6 forces the loop to
     ``max_terms`` — observed as a 25x slowdown (1024 instead of ~40 terms) on the
     NC suite's generators.
+
+    The series matmul runs at ``Precision.HIGHEST``: the TPU default lowers f32
+    matrix-matrix products to bf16 MXU passes, whose ~0.4% entry noise leaves the
+    propagator's column sums ~1% off — and a 500-step rollout amplifies that
+    exponentially (observed: per-snapshot mass from 0.006x to 136x on the NC
+    datasets). The returned propagator's columns are also renormalized to sum to
+    exactly 1, so downstream matvec rollouts conserve mass by construction.
     """
     n = m.shape[0]
     lam = jnp.max(-jnp.diagonal(m)) * (1.0 + 1e-6) + jnp.asarray(1e-300, m.dtype)
@@ -161,14 +168,15 @@ def expm_markov(m, dt, tail_sigmas: float = 10.0, max_terms: int = 1024):
         k, pk, acc, w, wsum = c
         acc = acc + w * pk
         wsum = wsum + w
-        pk = jnp.dot(p, pk, preferred_element_type=m.dtype)
+        pk = jnp.dot(p, pk, preferred_element_type=m.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
         w = w * a / (k + 1.0)
         return (k + 1.0, pk, acc, w, wsum)
 
     zero = jnp.zeros((), m.dtype)
     init = (zero, jnp.eye(n, dtype=m.dtype), jnp.zeros_like(m), jnp.exp(-a), zero)
     _, _, acc, _, wsum = jax.lax.while_loop(cond, body, init)
-    return acc / wsum
+    return acc / jnp.sum(acc, axis=0, keepdims=True)
 
 
 # jax.scipy expm's LU block breaks the v5e scoped-VMEM limit above roughly this size
@@ -191,7 +199,7 @@ def propagate_expm(potential, diffusion, resolution, beta, p0, times, force=None
         prop = jax.scipy.linalg.expm(m * dt)
 
     def step(p, _):
-        p_next = prop @ p
+        p_next = jnp.dot(prop, p, precision=jax.lax.Precision.HIGHEST)
         return p_next, p_next
 
     _, rest = jax.lax.scan(step, p0, None, length=times.shape[0] - 1)
