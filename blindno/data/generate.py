@@ -234,15 +234,19 @@ def generate_ncfpe2d(seed: int, m: int, n_snapshots: int = 100, tf: float = 10e-
     trajs = []
     for s in range(0, m, batch):
         e = min(s + batch, m)
-        out = solve_v(jnp.asarray(u[s:e], jnp.float32), jnp.asarray(f[s:e], jnp.float32),
-                      jnp.asarray(sel[s:e]))
-        trajs.append(np.asarray(out))
+        out = np.asarray(
+            solve_v(jnp.asarray(u[s:e], jnp.float32), jnp.asarray(f[s:e], jnp.float32),
+                    jnp.asarray(sel[s:e])))
+        # the non-conservative propagator is built by a truncated matmul series; check
+        # mass conservation per batch so a solver regression aborts the run in seconds
+        # instead of after hours of generation (the path had two such bugs in round 2)
+        mass_dev = np.abs(out.sum(axis=(2, 3)) - 1.0).max()
+        if mass_dev > 1e-2:
+            raise RuntimeError(
+                f"NC datagen mass drift {mass_dev:.3e} (> 1e-2) in samples "
+                f"[{s}:{e}); solver regression")
+        trajs.append(out)
     trajectories = np.concatenate(trajs)
-    # the non-conservative propagator is built by a truncated matmul series; guard
-    # against any regression of the mass-conservation/precision bugs this path had
-    mass_dev = np.abs(trajectories.sum(axis=(2, 3)) - 1.0).max()
-    if mass_dev > 1e-2:
-        raise RuntimeError(f"NC datagen mass drift {mass_dev:.3e} (> 1e-2); solver regression")
     grid = np.stack([gx, gy])
     return {
         "time": times,

@@ -11,11 +11,13 @@ from __future__ import annotations
 
 import csv
 import os
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from blindno.data.datasets import FieldStats, MaxStats
 from blindno.eval.metrics import relative_l2_per_field
 from blindno.train.checkpoint import load_best
 
@@ -24,16 +26,83 @@ _NPZ_CACHE: dict = {}
 
 
 def _load_npz(path):
-    """Memoized archive load (treated read-only by all callers). The fpe2d train
-    archive is ~12 GB and each (field-eval, time-error) pair otherwise reloads it
-    twice per model just to recompute normalization statistics."""
+    """Memoized archive load. With train statistics coming from the sidecar cache
+    (``cached_train_stats``) only TEST archives (<= ~3 GB) pass through here; keep two
+    entries with LRU eviction and hand out read-only arrays so a mutating caller can't
+    corrupt a later eval."""
     key = (path, os.path.getmtime(path))
-    if key not in _NPZ_CACHE:
-        while len(_NPZ_CACHE) >= 4:  # bound host RAM: one suite's train+test + slack
-            _NPZ_CACHE.pop(next(iter(_NPZ_CACHE)))
-        with np.load(path, allow_pickle=True) as z:
-            _NPZ_CACHE[key] = {k: z[k] for k in z.files}
-    return _NPZ_CACHE[key]
+    if key in _NPZ_CACHE:
+        _NPZ_CACHE[key] = _NPZ_CACHE.pop(key)  # move to end: LRU on hit
+        return _NPZ_CACHE[key]
+    while len(_NPZ_CACHE) >= 2:
+        _NPZ_CACHE.pop(next(iter(_NPZ_CACHE)))
+    with np.load(path, allow_pickle=True) as z:
+        entry = {k: z[k] for k in z.files}
+    for arr in entry.values():
+        arr.flags.writeable = False
+    _NPZ_CACHE[key] = entry
+    return entry
+
+
+@dataclass
+class TrainStats:
+    """The two things eval needs from a train archive: normalization statistics and
+    the target field count — a few KB, vs the ~12 GB fpe2d archive they come from."""
+
+    stats: dict
+    n_fields: int
+
+
+def cached_train_stats(spec, workdir: str) -> TrainStats:
+    """Train-set normalization stats from a sidecar npz next to the train archive.
+
+    Each 2-D (field-eval, time-error) pass previously reloaded the full train archive
+    (~17 min for fpe2d) just to recompute per-gridpoint means/stds. The sidecar is
+    keyed on the archive's (mtime, size), so regenerating a dataset invalidates it.
+    """
+    src = os.path.join(workdir, "data", spec.train_file)
+    # keyed by SUITE, not just file: gpe1d and gpe1d_vgk share one archive but load
+    # it with different normalization (thirds vs plain /max, 1 vs 3 target fields)
+    sidecar = os.path.join(workdir, "data", f"{spec.name}.stats.npz")
+    mtime, size = os.path.getmtime(src), os.path.getsize(src)
+    if os.path.exists(sidecar):
+        with np.load(sidecar, allow_pickle=False) as z:
+            if float(z["src_mtime"]) == mtime and int(z["src_size"]) == size:
+                return _stats_from_arrays({k: z[k] for k in z.files})
+    train_ds = spec.loader(_load_full_npz(src))
+    ts = TrainStats(train_ds.stats, int(train_ds.targets.shape[-1]))
+    np.savez(sidecar, **_stats_to_arrays(ts, mtime, size))
+    return ts
+
+
+def _load_full_npz(path):
+    """One-shot uncached load (train archives are too large for _NPZ_CACHE)."""
+    with np.load(path, allow_pickle=True) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _stats_to_arrays(ts: TrainStats, mtime: float, size: int) -> dict:
+    out = {"src_mtime": np.float64(mtime), "src_size": np.int64(size),
+           "n_fields": np.int64(ts.n_fields)}
+    for name, s in ts.stats.items():
+        if isinstance(s, MaxStats):
+            out[f"max__{name}"] = np.array([s.y_max, s.v_max, s.g_max, s.kappa_max])
+        else:
+            out[f"scale__{name}"] = np.float64(s.scale)
+            out[f"mean__{name}"] = s.mean
+            out[f"std__{name}"] = s.std
+    return out
+
+
+def _stats_from_arrays(arrs: dict) -> TrainStats:
+    stats = {}
+    for k, v in arrs.items():
+        if k.startswith("max__"):
+            stats[k[5:]] = MaxStats(*(float(x) for x in v))
+        elif k.startswith("scale__"):
+            name = k[7:]
+            stats[name] = FieldStats(float(v), arrs[f"mean__{name}"], arrs[f"std__{name}"])
+    return TrainStats(stats, int(arrs["n_fields"]))
 
 
 def predict_fields(model, params, batch_stats, inputs_norm, grid, batch: int = 16):
@@ -53,9 +122,8 @@ def evaluate_suite_model(spec, model_name: str, workdir: str, batch: int = 16,
                          save_predictions: bool = True, make_figures: bool = True):
     """Returns a report dict; writes metrics.csv / preds / PNGs under
     ``{workdir}/eval/{suite}_{model}/``."""
-    train = _load_npz(os.path.join(workdir, "data", spec.train_file))
+    train_ds = cached_train_stats(spec, workdir)
     test = _load_npz(os.path.join(workdir, "data", spec.test_file))
-    train_ds = spec.loader(train)  # recomputes train statistics
     # normalize test inputs with train stats
     if "max" in train_ds.stats:  # GPE suites: global /max
         inputs = np.asarray(test["y"], np.float32) / train_ds.stats["max"].y_max
@@ -102,12 +170,12 @@ def evaluate_suite_model(spec, model_name: str, workdir: str, batch: int = 16,
     return report
 
 
-def _normalized_test_targets(spec, train_ds, test):
+def _normalized_test_targets(spec, train_ds: TrainStats, test):
     """Normalize the raw test targets with train statistics, shaped like model output."""
     if "max" in train_ds.stats:
         stats = train_ds.stats["max"]
         v = np.asarray(test["V"], np.float32) / stats.v_max
-        if train_ds.targets.shape[-1] == 3:
+        if train_ds.n_fields == 3:
             nx = v.shape[1]
             g = np.asarray(test["g"], np.float32) / stats.g_max
             k = np.asarray(test["kappa"], np.float32) / stats.kappa_max
@@ -128,7 +196,7 @@ def _normalized_test_targets(spec, train_ds, test):
     return np.stack([pot, drag], axis=3)
 
 
-def denormalize_predictions(spec, train_ds, preds_norm):
+def denormalize_predictions(spec, train_ds: TrainStats, preds_norm):
     """Model-output space -> physical units, per suite convention."""
     if "max" in train_ds.stats:
         stats = train_ds.stats["max"]

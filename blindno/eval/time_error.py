@@ -157,14 +157,14 @@ def time_error_suite(spec, model_name: str, workdir: str, num_samples: int = 100
 
     from blindno.eval.field_eval import (
         _load_npz,
+        cached_train_stats,
         denormalize_predictions,
         predict_fields,
     )
     from blindno.train.checkpoint import load_best
 
-    train = _load_npz(os.path.join(workdir, "data", spec.train_file))
+    train_ds = cached_train_stats(spec, workdir)
     test = _load_npz(os.path.join(workdir, "data", spec.test_file))
-    train_ds = spec.loader(train)
     if "max" in train_ds.stats:
         inputs = np.asarray(test["y"], np.float32) / train_ds.stats["max"].y_max
     else:

@@ -157,25 +157,30 @@ def expm_markov(m, dt, tail_sigmas: float = 10.0, max_terms: int = 1024):
     lam = jnp.max(-jnp.diagonal(m)) * (1.0 + 1e-6) + jnp.asarray(1e-300, m.dtype)
     a = lam * dt
     p = jnp.eye(n, dtype=m.dtype) + m / lam
-    n_terms = jnp.minimum(a + tail_sigmas * jnp.sqrt(a) + tail_sigmas,
-                          jnp.asarray(float(max_terms), m.dtype))
+    max_f = jnp.asarray(float(max_terms), m.dtype)
+    need = a + tail_sigmas * jnp.sqrt(a) + tail_sigmas
+    n_terms = jnp.minimum(need, max_f)
 
     def cond(c):
-        k, pk, acc, w, wsum = c
+        k, pk, acc, w = c
         return k < n_terms
 
     def body(c):
-        k, pk, acc, w, wsum = c
+        k, pk, acc, w = c
         acc = acc + w * pk
-        wsum = wsum + w
         pk = jnp.dot(p, pk, preferred_element_type=m.dtype,
                      precision=jax.lax.Precision.HIGHEST)
         w = w * a / (k + 1.0)
-        return (k + 1.0, pk, acc, w, wsum)
+        return (k + 1.0, pk, acc, w)
 
     zero = jnp.zeros((), m.dtype)
-    init = (zero, jnp.eye(n, dtype=m.dtype), jnp.zeros_like(m), jnp.exp(-a), zero)
-    _, _, acc, _, wsum = jax.lax.while_loop(cond, body, init)
+    init = (zero, jnp.eye(n, dtype=m.dtype), jnp.zeros_like(m), jnp.exp(-a))
+    _, _, acc, _ = jax.lax.while_loop(cond, body, init)
+    # Loud in-graph guard: if the tail bound exceeds max_terms the truncated series
+    # would be badly wrong, and the column renormalization below would mask it with a
+    # mass-conserving-but-incorrect propagator. Poison with NaN instead — datagen's
+    # mass assertions and the train loop's divergence guard both trip on it.
+    acc = jnp.where(need <= max_f, acc, jnp.full_like(acc, jnp.nan))
     return acc / jnp.sum(acc, axis=0, keepdims=True)
 
 

@@ -212,8 +212,11 @@ _register(
                 subsample=True, block="plain",
             ),
         },
+        # m_train matches the committed runs/data/ncfpe2d_train.npz (m=1200 generated
+        # round 2 at ~2.1 s/sample); the round-2 per-script overrides are gone — this
+        # value IS the dataset size (VERDICT r2 weak #3).
         train_cfg=TrainConfig(epochs=400, batch_size=4, lr=5e-4, save_interval=5),
-        m_train=2000,
+        m_train=1200,
         m_test=400,
     )
 )

@@ -1,0 +1,204 @@
+"""Round-3 master driver: complete the executed training + eval matrix.
+
+Round-3 context (VERDICT r2 "Next round"): every *component* exists and is tested;
+what is missing is trained, recorded results. Priority order here:
+ 1. fpe2d/unet — the flagship BlinDNO model, never trained in rounds 1-2 (~3.5 h).
+    Trained at the reference-exact lr 5e-4 (2d_FPE/train_unet.py:108) with global
+    batch 16 (= 4/GPU x 4-GPU DDP equivalent).
+ 2. The full 1-D matrix (fpe1d fno/unet, schrodinger1d x3, gpe1d x3) — quick wins.
+ 3. NC suite completion (fno + unet on the committed m=1200 dataset).
+ 4. gpe1d_vgk (1000-epoch V,g,kappa-head variant).
+ 5. Seed retries for the two round-1 near-misses (schrodinger1d fno/unet).
+ 6. Stretch (deadline-guarded): fpe2d/nio at reference-exact lr 5e-4 — the
+    diagnosed-but-untried experiment from NOTES_r2.
+
+One TPU process (the axon tunnel is single-client), resumable at every level:
+datasets skip when their npz exists, trainings skip when a summary json exists
+(preempted runs resume from resume.msgpack), eval rows append to
+runs/RESULTS_rows.jsonl and skip when present. Touch runs/STOP for graceful
+preemption. Each completed training is evaluated immediately so evidence lands
+incrementally.
+"""
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from run_all import W, ensure_data, log, stop_requested  # noqa: E402
+from round2 import compose_results, eval_one, retrain_if_better, _load_rows, ROWS  # noqa: E402
+from run_eval import REFERENCE  # noqa: E402
+
+# Hard wall-clock guard: no new LONG stage starts after this many seconds from launch;
+# the TPU must be free for the end-of-round bench run.
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BLINDNO_BUDGET_S", 9.8 * 3600))
+
+
+def remaining():
+    return BUDGET_S - (time.time() - T0)
+
+
+def train_one_cfg(spec, model_name, overrides=None):
+    """run_all.train_one with TrainConfig field overrides (e.g. reference-exact lr)."""
+    from blindno.train.loop import train_model
+
+    summary_path = os.path.join(W, "logs", f"{spec.name}_{model_name}_summary.json")
+    if os.path.exists(summary_path):
+        log(f"skip {spec.name}/{model_name} (summary exists)")
+        return
+    with np.load(os.path.join(W, "data", spec.train_file), allow_pickle=True) as z:
+        data = spec.loader({k: z[k] for k in z.files})
+    cfg = dataclasses.replace(
+        spec.train_cfg,
+        ckpt_dir=os.path.join(W, "ckpt", f"{spec.name}_{model_name}"),
+        log_path=os.path.join(W, "logs", f"{spec.name}_{model_name}.jsonl"),
+        stop_file=os.path.join(W, "STOP"),
+        **(overrides or {}),
+    )
+    model = spec.models[model_name]()
+    log(f"train {spec.name}/{model_name} for {cfg.epochs} epochs "
+        f"(bs {cfg.batch_size}, lr {cfg.lr})")
+    t0 = time.time()
+    res = train_model(model, data, spec.grid, cfg)
+    finished = bool(res.history) and res.history[-1].get("epoch") == cfg.epochs
+    log(f"  best test rel-L2 {res.best_test_loss:.6f} in {time.time() - t0:.0f}s"
+        + ("" if finished else " (preempted; resumable)"))
+    if finished:
+        with open(summary_path, "w") as fh:
+            json.dump({"suite": spec.name, "model": model_name,
+                       "best_test_loss": res.best_test_loss,
+                       "wall_s": time.time() - t0,
+                       "cfg": {"lr": cfg.lr, "batch_size": cfg.batch_size,
+                               "epochs": cfg.epochs, "seed": cfg.seed},
+                       "history": res.history}, fh, indent=1)
+
+
+def retrain_variant(suite, model, tag, overrides):
+    """Hyperparameter-variant retrain, adopted only if it beats the recorded best.
+
+    Same adopt-or-discard contract as round2.retrain_if_better but with TrainConfig
+    overrides (round-3 use: fpe2d/nio at the reference-exact lr 5e-4, NOTES_r2 lead).
+    """
+    from blindno.suites.registry import SUITES
+    from blindno.train.loop import train_model
+
+    spec = SUITES[suite]
+    summary_path = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+    old_best = float("inf")
+    if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            old_best = json.load(fh)["best_test_loss"]
+    ref = REFERENCE.get((suite, model))
+    if ref is not None and old_best <= ref:
+        log(f"skip variant {tag} (already beats reference: {old_best:.6f} <= {ref})")
+        return
+    run = f"{suite}_{model}_{tag}"
+    done_marker = os.path.join(W, "logs", f"{run}_done.json")
+    if os.path.exists(done_marker):
+        log(f"skip variant {run} (done marker exists)")
+        return
+    with np.load(os.path.join(W, "data", spec.train_file), allow_pickle=True) as z:
+        data = spec.loader({k: z[k] for k in z.files})
+    cfg = dataclasses.replace(
+        spec.train_cfg,
+        ckpt_dir=os.path.join(W, "ckpt", run),
+        log_path=os.path.join(W, "logs", f"{run}.jsonl"),
+        stop_file=os.path.join(W, "STOP"),
+        **overrides,
+    )
+    log(f"variant {run} for {cfg.epochs} epochs (bs {cfg.batch_size}, lr {cfg.lr}; "
+        f"to beat {old_best:.6f})")
+    t0 = time.time()
+    res = train_model(spec.models[model](), data, spec.grid, cfg)
+    finished = bool(res.history) and res.history[-1].get("epoch") == cfg.epochs
+    log(f"  variant best {res.best_test_loss:.6f} vs old {old_best:.6f} "
+        f"({time.time() - t0:.0f}s)" + ("" if finished else " (preempted)"))
+    if not finished:
+        return
+    if res.best_test_loss < old_best:
+        main_dir = os.path.join(W, "ckpt", f"{suite}_{model}")
+        shutil.rmtree(main_dir, ignore_errors=True)
+        shutil.move(cfg.ckpt_dir, main_dir)
+        with open(summary_path, "w") as fh:
+            json.dump({"suite": suite, "model": model, "variant": tag,
+                       "best_test_loss": res.best_test_loss,
+                       "wall_s": time.time() - t0,
+                       "cfg": {"lr": cfg.lr, "batch_size": cfg.batch_size,
+                               "epochs": cfg.epochs, "seed": cfg.seed},
+                       "history": res.history}, fh, indent=1)
+        rows = _load_rows()
+        rows.pop((suite, model), None)
+        with open(ROWS, "w") as fh:
+            for r in rows.values():
+                fh.write(json.dumps(r) + "\n")
+        log(f"  adopted variant {tag} for {suite}/{model}")
+    else:
+        shutil.rmtree(cfg.ckpt_dir, ignore_errors=True)
+    with open(done_marker, "w") as fh:
+        json.dump({"best": res.best_test_loss, "old": old_best,
+                   "adopted": res.best_test_loss < old_best}, fh)
+
+
+# (kind, suite, model, overrides, est_cost_s). Long stages are skipped when the
+# remaining budget is under their estimate (the eval + compose always run).
+PLAN = [
+    ("train", "fpe2d", "unet", {"lr": 5e-4}, 13000),
+    ("train", "fpe1d", "fno", {}, 900),
+    ("train", "fpe1d", "unet", {}, 1500),
+    ("train", "schrodinger1d", "nio", {}, 1200),
+    ("train", "schrodinger1d", "fno", {}, 1200),
+    ("train", "schrodinger1d", "unet", {}, 1500),
+    ("train", "gpe1d", "nio", {}, 1200),
+    ("train", "gpe1d", "fno", {}, 1200),
+    ("train", "gpe1d", "unet", {}, 1500),
+    ("train", "ncfpe2d", "fno", {}, 6000),
+    ("train", "ncfpe2d", "unet", {}, 7000),
+    ("train", "gpe1d_vgk", "nio", {}, 2500),
+    ("retry", "schrodinger1d", "fno", 1, 1200),
+    ("retry", "schrodinger1d", "unet", 1, 1500),
+    ("variant", "fpe2d", "nio", ("reflr", {"lr": 5e-4}), 11000),
+]
+
+
+def main():
+    from blindno.suites.registry import SUITES
+
+    for kind, suite, model, arg, est in PLAN:
+        if stop_requested():
+            log("STOP requested; exiting")
+            return
+        summary = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+        # a completed training only costs its eval pass (~10 min worst case)
+        est_eff = 600 if os.path.exists(summary) else est
+        if remaining() < est_eff:
+            log(f"skip {kind}/{suite}/{model}: {remaining():.0f}s left < est {est_eff}s")
+            continue
+        try:
+            spec = SUITES[suite]
+            ensure_data(spec)  # no-op when the npz files exist
+            if kind == "train":
+                train_one_cfg(spec, model, arg)
+            elif kind == "retry":
+                retrain_if_better(suite, model, seed=arg)
+            elif kind == "variant":
+                retrain_variant(suite, model, *arg)
+            if os.path.exists(summary):  # only eval completed trainings
+                eval_one(suite, model)
+                compose_results()
+        except Exception:
+            log(f"STAGE FAILED: {kind}/{suite}/{model}")
+            traceback.print_exc()
+    compose_results()
+    log("round3 complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,9 +60,9 @@ def main():
             status = ("**beats ref**" if loss < ref
                       else "close" if loss < 1.15 * ref else "behind (see notes)")
         if tag == "r1":
-            status = (status + ", round-1 run (not re-evaluated this round)").strip(", ")
+            status = ", ".join(s for s in (status, "round-1 run (not re-evaluated this round)") if s)
         elif tag == "partial":
-            status = (status + ", preempted (resumable)").strip(", ")
+            status = ", ".join(s for s in (status, "preempted (resumable)") if s)
         rows.append(f"| {suite} | {NAMES.get(model, model)} | {loss:.4f} | "
                     f"{ref if ref else '-'} | {te_s} | {status} |")
 
