@@ -7,20 +7,32 @@ Config matches the reference's benchmarked setup (``2d_FPE/train_nio.py``): NIOF
 grid, Adam. The measured quantity is full training steps/sec (forward + backward +
 optimizer update) on one chip.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). The anchor is
-MEASURED on this host by ``scripts/bench_torch_baseline.py`` (a faithful torch
-restatement of the reference model/step at the same config, run on host CPU; results
-committed in ``runs/logs/torch_baseline.json``), scaled to an A100 estimate:
-``A100_EST = torch_cpu_steps_per_sec * CPU_TO_A100``. CPU_TO_A100 = 165 is the assumed
-A100-vs-this-host speedup for this op mix (hundreds of small-batch cuDNN convs with up
-to 512 channels + cuFFT FNO layers): measured torch-CPU is 0.073 steps/s (13.7 s/step,
-runs/logs/torch_baseline.json), and an A100 sustaining ~25 TF effective on the step's
-~2 TFLOP of work gives ~12 steps/s — factor 165. This deliberately GENEROUS baseline
-(an A100 beating a CPU by 165x) matches the independent component-level estimate used
-in round 1, so vs_baseline is comparable across rounds and conservative in the
-baseline's favor. If the measured file is absent, falls back to the fixed 12 steps/s.
-The JSON line also reports measured FLOPs/step (XLA cost analysis) and achieved
-TFLOP/s so the claim is auditable independent of any baseline assumption.
+Baseline: the reference publishes no throughput numbers (BASELINE.md) and was run on
+unspecified CUDA GPUs, so the A100 anchor is DERIVED, not measured — from two
+committed measurements plus one cited assumption, so a skeptic can recompute it:
+
+1. ``torch_flops_per_step`` — conv/matmul FLOPs of a faithful torch restatement of
+   the reference step (``scripts/bench_torch_baseline.py``, torch FlopCounterMode,
+   forward+backward, committed in ``runs/logs/torch_baseline.json``). FFT/elementwise
+   FLOPs are not counted, which errs in the baseline's favor (fewer FLOPs -> faster
+   estimated A100).
+2. ``A100_EFF_TFLOPS`` — the assumed sustained A100 throughput band for this op mix:
+   hundreds of small-batch cuDNN convs (B*L ~= 300 images of 61x61, up to 512
+   channels) + cuFFT FNO layers + BatchNorm, with per-layer kernel launches. torch
+   defaults run cuDNN convs in TF32 (156 TF/s peak); sustained utilization for such
+   small-batch research mixes is typically 10-30%% of that peak -> a 15-45 TF/s
+   effective band.
+3. ``A100_est_steps/s = eff_tflops * 1e12 / torch_flops_per_step``.
+
+``vs_baseline`` is quoted at the band's geometric mean (26 TF/s);
+``vs_baseline_range`` spans the band, with the LOW end the claim's conservative bound
+(A100 at 45 TF/s effective). The old round-1/2 anchor (torch-CPU steps/s x 165) is
+retained in the JSON for cross-round comparability but no longer feeds the headline —
+it baked in a "~2 TFLOP" narrative that disagreed with the XLA-counted FLOPs of OUR
+step (0.76 TFLOP; the two implementations legitimately differ: ours runs all 100
+snapshots per step with masked subsampling and DFT-matmul spectral convs, torch runs
+~75 and cuFFT). The JSON also reports our measured FLOPs/step (XLA cost analysis),
+achieved TFLOP/s, and MFU vs the v5e 197 TF/s bf16 peak.
 """
 import json
 import os
@@ -28,19 +40,31 @@ import time
 
 import numpy as np
 
-CPU_TO_A100 = 165.0
+A100_EFF_TFLOPS = (15.0, 45.0)  # cited sustained band for this small-batch conv mix
+CPU_TO_A100 = 165.0  # legacy round-1/2 scaling, reported for comparability only
 FALLBACK_A100_EST = 12.0
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def a100_baseline_steps_per_sec():
+    """Returns (mid, low, high, basis): estimated A100 steps/s for the torch step."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "runs", "logs", "torch_baseline.json")
     try:
         with open(path) as fh:
-            measured = json.load(fh)["torch_cpu_steps_per_sec"]
-        return measured * CPU_TO_A100, f"torch_cpu {measured:.3f}/s x {CPU_TO_A100:.0f}"
-    except (OSError, KeyError, ValueError):
-        return FALLBACK_A100_EST, "fixed estimate (torch_baseline.json absent)"
+            d = json.load(fh)
+    except OSError:
+        d = {}
+    if "torch_flops_per_step" in d:
+        f = float(d["torch_flops_per_step"])
+        lo_tf, hi_tf = A100_EFF_TFLOPS
+        mid_tf = (lo_tf * hi_tf) ** 0.5
+        return (mid_tf * 1e12 / f, lo_tf * 1e12 / f, hi_tf * 1e12 / f,
+                f"{f/1e12:.3f} TFLOP/step (FlopCounterMode) / {lo_tf:.0f}-{hi_tf:.0f} TF/s A100 band")
+    if "torch_cpu_steps_per_sec" in d:
+        est = float(d["torch_cpu_steps_per_sec"]) * CPU_TO_A100
+        return est, est, est, f"torch_cpu {d['torch_cpu_steps_per_sec']:.3f}/s x {CPU_TO_A100:.0f} (legacy)"
+    return (FALLBACK_A100_EST,) * 3 + ("fixed estimate (torch_baseline.json absent)",)
 
 
 def main():
@@ -100,16 +124,29 @@ def main():
     dt = time.perf_counter() - t0
 
     sps = n_steps / dt
-    baseline, basis = a100_baseline_steps_per_sec()
+    mid, low, high, basis = a100_baseline_steps_per_sec()
+    achieved_tf = sps * flops / 1e12 if np.isfinite(flops) else None
+    # legacy round-1/2 anchor, for cross-round comparability of old BENCH_r*.json
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "runs", "logs", "torch_baseline.json")) as fh:
+            legacy = json.load(fh)["torch_cpu_steps_per_sec"] * CPU_TO_A100
+    except (OSError, KeyError, ValueError):
+        legacy = None
     print(json.dumps({
         "metric": "2d_fpe_nio_train_steps_per_sec",
         "value": round(sps, 3),
         "unit": "steps/s",
-        "vs_baseline": round(sps / baseline, 3),
-        "baseline_steps_per_sec": round(baseline, 3),
+        "vs_baseline": round(sps / mid, 3),
+        # conservative bound first (A100 at the generous 45 TF/s end of the band)
+        "vs_baseline_range": [round(sps / high, 3), round(sps / low, 3)],
+        "baseline_steps_per_sec": round(mid, 3),
+        "baseline_steps_per_sec_range": [round(low, 3), round(high, 3)],
         "baseline_basis": basis,
+        "vs_baseline_legacy_r1r2": round(sps / legacy, 3) if legacy else None,
         "flops_per_step": flops,
-        "achieved_tflops_per_sec": round(sps * flops / 1e12, 2) if np.isfinite(flops) else None,
+        "achieved_tflops_per_sec": round(achieved_tf, 2) if achieved_tf else None,
+        "mfu_vs_v5e_bf16_peak": round(achieved_tf / V5E_BF16_PEAK_TFLOPS, 3) if achieved_tf else None,
     }))
 
 

@@ -12,7 +12,7 @@ import numpy as np
 
 from blindno.data import generate as G
 from blindno.data.datasets import load_fpe1d, load_fpe2d, load_gpe1d, load_ncfpe2d
-from blindno.models.nio1d import NIOFP1D, NIOFNO1D
+from blindno.models.nio1d import NIOFP1D, NIOFNO1D, NIOFPOde
 from blindno.models.nio2d import (
     NIOFP2D,
     NIOFNO2D,
@@ -59,6 +59,14 @@ class SuiteSpec:
 
 
 SUITES: dict[str, SuiteSpec] = {}
+
+# Vestigial composites: classes the reference defines but never trains with any
+# script (``2d_FPE/NIOModules.py:655-717``). Exposed here for inventory completeness;
+# not part of any SuiteSpec because no dataset (reference or ours) matches their
+# ODE-observation input shape (B, L, 11).
+VESTIGIAL_MODELS: dict[str, Callable] = {
+    "nio_ode": lambda: NIOFPOde(),
+}
 
 
 def _register(spec: SuiteSpec):

@@ -30,7 +30,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from blindno.data.datasets import SetToFieldData, eval_batches, train_test_split
 from blindno.eval.metrics import relative_l2_per_field
-from blindno.parallel.mesh import data_mesh, replicate
+from blindno.parallel.mesh import data_mesh, data_model_mesh, replicate
+from blindno.parallel.tp import tp_shard_params
 from blindno.utils.logging import MetricsLogger
 
 
@@ -65,6 +66,11 @@ class TrainConfig:
     # 16 GB chip); input quantization is ~0.4% relative, far below the snapshot
     # information content the models use.
     compress_inputs: bool = False
+    # Tensor-parallel axis size: params/optimizer state shard their out-channel dims
+    # over a 'model' mesh axis (blindno.parallel.tp) and the batch shards over the
+    # remaining 'data' axis — a DPxTP mesh, like the multichip dryrun
+    # (__graft_entry__.dryrun_multichip). 1 = pure DP (the reference is DDP-only).
+    tp: int = 1
 
 
 @dataclass
@@ -90,7 +96,18 @@ def step_lr(lr: float, gamma: float, step_epochs: int, steps_per_epoch: int):
 def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 progress: Callable | None = None) -> TrainResult:
     """Full training run. ``model`` is a flax module taking (x, grid, training=...)."""
-    mesh = data_mesh(batch_size=cfg.batch_size)
+    if cfg.tp > 1:
+        mesh = data_model_mesh(cfg.tp)
+        n_data = mesh.shape["data"]
+        if cfg.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} not divisible by the data axis "
+                f"({n_data} = {len(jax.devices())} devices / tp={cfg.tp})")
+    else:
+        mesh = data_mesh(batch_size=cfg.batch_size)
+    # params/opt-state placement: TP shards out-channel dims over 'model', pure DP
+    # replicates; batches always shard over 'data'
+    place = (lambda t: tp_shard_params(t, mesh)) if cfg.tp > 1 else (lambda t: replicate(t, mesh))
     dp = NamedSharding(mesh, P("data"))
     n = data.inputs.shape[0]
     train_idx, test_idx = train_test_split(n, cfg.train_frac, cfg.split_seed)
@@ -110,7 +127,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
     variables = jax.jit(model.init)({"params": init_key, "sample": init_key}, init_x, grid)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", freeze({}))
-    params = replicate(params, mesh)
+    params = place(params)
     batch_stats = replicate(batch_stats, mesh)
 
     steps_per_epoch = train_idx.shape[0] // cfg.batch_size
@@ -121,7 +138,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         )
     schedule = step_lr(cfg.lr, cfg.lr_gamma, cfg.lr_step_epochs, steps_per_epoch)
     tx = optax.adam(schedule)
-    opt_state = replicate(tx.init(params), mesh)
+    opt_state = place(tx.init(params))
 
     start_epoch = 1
     best_loss = float("inf")
@@ -132,9 +149,9 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                   "opt_state": jax.device_get(opt_state), "epoch": 0, "best_loss": 0.0}
         restored = load_resume(cfg.ckpt_dir, target)
         if restored is not None:
-            params = replicate(restored["params"], mesh)
+            params = place(restored["params"])
             batch_stats = replicate(restored["batch_stats"], mesh)
-            opt_state = replicate(restored["opt_state"], mesh)
+            opt_state = place(restored["opt_state"])
             start_epoch = int(restored["epoch"]) + 1
             best_loss = float(restored["best_loss"])
             # keep the PRNG stream distinct per resumed segment

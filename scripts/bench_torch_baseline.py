@@ -219,12 +219,32 @@ def measure(step, warmup, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def count_torch_flops(step, iters: int = 4):
+    """Mean conv/matmul FLOPs of the torch train step (forward + backward), via
+    torch's aten-level FlopCounterMode. The count varies per step because the
+    reference subsamples L ~ U{50..99} snapshots; average a few steps under a fixed
+    numpy seed. FFTs/elementwise/BN are not counted (no FLOP formula registered) —
+    this is a lower bound dominated by the Encoder2D convs, which is the generous
+    direction for the A100 baseline derived from it in bench.py."""
+    from torch.utils.flop_counter import FlopCounterMode
+
+    np.random.seed(123)
+    counts = []
+    for _ in range(iters):
+        fc = FlopCounterMode(display=False)
+        with fc:
+            step()
+        counts.append(fc.get_total_flops())
+    return float(np.mean(counts))
+
+
 def main():
     out = {}
     torch_step = build_torch_step()
     t_torch = measure(torch_step, warmup=2, iters=8)
     out["torch_cpu_step_s"] = round(t_torch, 4)
     out["torch_cpu_steps_per_sec"] = round(1.0 / t_torch, 4)
+    out["torch_flops_per_step"] = count_torch_flops(torch_step)
 
     jax_step = build_jax_cpu_step()
     t_jax = measure(jax_step, warmup=3, iters=8)

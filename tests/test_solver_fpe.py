@@ -185,3 +185,24 @@ def test_expm_markov_f32_vmapped(rng):
 
     got, want = jax.vmap(prop)(us)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-6)
+
+
+def test_expm_markov_squarings_consistent(x64):
+    """Scaling-and-squaring (the NC datagen speedup) must agree with the plain
+    series and with Pade, at several squaring depths."""
+    from blindno.solvers.fokker_planck import build_generator, expm_markov
+
+    rng = np.random.default_rng(3)
+    x = np.linspace(-1, 1, 20)
+    gx, gy = np.meshgrid(x, x, indexing="ij")
+    u = jnp.asarray(np.exp(-(gx**2 + gy**2)), jnp.float64) * 2.0
+    f = jnp.asarray(rng.standard_normal((2, 20, 20)), jnp.float64) * 0.5
+    m = build_generator(u, 0.7, 2.0 / 19, beta=1.0, force=f)
+    dt = 0.05
+    want = jax.scipy.linalg.expm(m * dt)
+    plain = expm_markov(m, dt, squarings=0)
+    for k in (2, 4, 6):
+        got = expm_markov(m, dt, squarings=k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(plain), rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(got.sum(axis=0)), 1.0, atol=1e-9)
