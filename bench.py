@@ -82,13 +82,18 @@ def main():
     gx, gy = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n), indexing="ij")
     grid = jnp.asarray(np.stack([gx, gy], 2).astype(np.float32))
 
-    variables = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, grid)
+    # jitted init: un-jitted flax init dispatches thousands of tiny ops over the
+    # single-chip tunnel (minutes); one compiled program is seconds
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, grid)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, xb, yb, key):
         def loss_fn(p):
             out, updates = model.apply(
@@ -115,7 +120,7 @@ def main():
     except Exception:
         flops = float("nan")
 
-    n_steps = 30
+    n_steps = int(os.environ.get("BLINDNO_BENCH_STEPS", "30"))
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, k = jax.random.split(key)
