@@ -151,6 +151,11 @@ def retrain_variant(suite, model, tag, overrides):
 # remaining budget is under their estimate (the eval + compose always run).
 PLAN = [
     ("train", "fpe2d", "unet", {"lr": 5e-4}, 13000),
+    # NC completion (VERDICT #3) ahead of the cheap 1-D matrix: the two long NC
+    # stages must not land at the budget edge, while skipped 1-D stages are quick
+    # to run in the end-of-round slack.
+    ("train", "ncfpe2d", "fno", {}, 6000),
+    ("train", "ncfpe2d", "unet", {}, 7000),
     ("train", "fpe1d", "fno", {}, 900),
     ("train", "fpe1d", "unet", {}, 1500),
     ("train", "schrodinger1d", "nio", {}, 1200),
@@ -159,8 +164,6 @@ PLAN = [
     ("train", "gpe1d", "nio", {}, 1200),
     ("train", "gpe1d", "fno", {}, 1200),
     ("train", "gpe1d", "unet", {}, 1500),
-    ("train", "ncfpe2d", "fno", {}, 6000),
-    ("train", "ncfpe2d", "unet", {}, 7000),
     ("train", "gpe1d_vgk", "nio", {}, 2500),
     ("retry", "schrodinger1d", "fno", 1, 1200),
     ("retry", "schrodinger1d", "unet", 1, 1500),
