@@ -149,26 +149,52 @@ def retrain_variant(suite, model, tag, overrides):
 
 # (kind, suite, model, overrides, est_cost_s). Long stages are skipped when the
 # remaining budget is under their estimate (the eval + compose always run).
+# Session-2 reorder: the host was wiped mid-round (all runs/data + runs/ckpt lost;
+# only git-tracked logs/rows survived), so every dataset regenerates from scratch
+# (seed-deterministic — identical content). Cheapest-rows-first so a second wipe
+# loses the least: 1-D matrix, then NC completion at m=2400, then deadline-guarded
+# fpe2d accuracy experiments. est includes datagen where the stage triggers it.
 PLAN = [
-    ("train", "fpe2d", "unet", {"lr": 5e-4}, 13000),
-    # NC completion (VERDICT #3) ahead of the cheap 1-D matrix: the two long NC
-    # stages must not land at the budget edge, while skipped 1-D stages are quick
-    # to run in the end-of-round slack.
-    ("train", "ncfpe2d", "fno", {}, 6000),
-    ("train", "ncfpe2d", "unet", {}, 7000),
-    ("train", "fpe1d", "fno", {}, 900),
-    ("train", "fpe1d", "unet", {}, 1500),
-    ("train", "schrodinger1d", "nio", {}, 1200),
-    ("train", "schrodinger1d", "fno", {}, 1200),
-    ("train", "schrodinger1d", "unet", {}, 1500),
-    ("train", "gpe1d", "nio", {}, 1200),
-    ("train", "gpe1d", "fno", {}, 1200),
-    ("train", "gpe1d", "unet", {}, 1500),
-    ("train", "gpe1d_vgk", "nio", {}, 2500),
-    ("retry", "schrodinger1d", "fno", 1, 1200),
-    ("retry", "schrodinger1d", "unet", 1, 1500),
-    ("variant", "fpe2d", "nio", ("reflr", {"lr": 5e-4}), 11000),
+    ("train", "fpe1d", "fno", {}, 1200),
+    ("train", "fpe1d", "unet", {}, 1600),
+    ("train", "schrodinger1d", "nio", {}, 1100),
+    ("train", "schrodinger1d", "fno", {}, 1100),
+    ("train", "schrodinger1d", "unet", {}, 1400),
+    ("train", "gpe1d", "nio", {}, 1100),
+    ("train", "gpe1d", "fno", {}, 1100),
+    ("train", "gpe1d", "unet", {}, 1400),
+    ("train", "gpe1d_vgk", "nio", {}, 2400),
+    ("train", "ncfpe2d", "fno", {}, 11000),  # + m=2400 datagen on first NC stage
+    ("train", "ncfpe2d", "unet", {}, 9000),
+    ("retry", "schrodinger1d", "fno", 1, 1100),
+    ("retry", "schrodinger1d", "unet", 1, 1400),
+    # nio's existing row was trained on the (lost) m=1200 set; same test split, so
+    # adopt-if-better is a like-for-like comparison on the m=2400 regen.
+    ("variant", "ncfpe2d", "nio", ("m2400", {}), 5500),
+    # fpe2d accuracy experiments (VERDICT #2) — need the 52-min m=8000 regen first;
+    # only start if the matrix above left room.
+    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 9000),
+    ("variant", "fpe2d", "nio", ("reflr", {"lr": 5e-4}), 12000),
 ]
+
+
+def _stage_pending(kind, suite, model, arg):
+    """Will this stage actually train (and therefore need its dataset on disk)?"""
+    if kind == "train":
+        return not os.path.exists(
+            os.path.join(W, "logs", f"{suite}_{model}_summary.json"))
+    tag = arg if kind == "variant" else None
+    run = f"{suite}_{model}_{tag[0]}" if kind == "variant" else f"{suite}_{model}_s{arg}"
+    if os.path.exists(os.path.join(W, "logs", f"{run}_done.json")):
+        return False
+    summary_path = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            old_best = json.load(fh)["best_test_loss"]
+        ref = REFERENCE.get((suite, model))
+        if ref is not None and old_best <= ref:
+            return False
+    return True
 
 
 def main():
@@ -179,14 +205,16 @@ def main():
             log("STOP requested; exiting")
             return
         summary = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+        pending = _stage_pending(kind, suite, model, arg)
         # a completed training only costs its eval pass (~10 min worst case)
-        est_eff = 600 if os.path.exists(summary) else est
+        est_eff = est if pending else 600
         if remaining() < est_eff:
             log(f"skip {kind}/{suite}/{model}: {remaining():.0f}s left < est {est_eff}s")
             continue
         try:
             spec = SUITES[suite]
-            ensure_data(spec)  # no-op when the npz files exist
+            if pending:
+                ensure_data(spec)  # no-op when the npz files exist
             if kind == "train":
                 train_one_cfg(spec, model, arg)
             elif kind == "retry":
