@@ -196,8 +196,11 @@ _register(
         # DDP-equivalent global batch 16 with lr 2x on one chip (round-1 finding:
         # m=2000 plateaus with a large train/test gap; m=8000 matches the 1-D suite).
         # compress_inputs: the m=8000 snapshot tensor is ~12 GB in f32 vs 16 GB HBM.
+        # augment: the well/drag/IC distribution is exactly D4-invariant on the
+        # symmetric grid (tests/test_augment.py), so rot/flip augmentation is a free
+        # 8x effective-data multiplier against the diagnosed data-starvation plateau.
         train_cfg=TrainConfig(epochs=400, batch_size=16, lr=1e-3, save_interval=5,
-                              compress_inputs=True),
+                              compress_inputs=True, augment="d4_scalar"),
         m_train=8000,
         m_test=400,
     )
@@ -225,7 +228,11 @@ _register(
         # round-2 archive was lost to a host wipe; the round-3 dataset is regenerated
         # at this size with the scaling-and-squaring expm_markov (~2x faster/sample).
         # This value IS the dataset size — no per-script overrides (VERDICT r2 weak #3).
-        train_cfg=TrainConfig(epochs=400, batch_size=4, lr=5e-4, save_interval=5),
+        # augment: the spiral family is axisymmetric, so C4-rotated samples keep
+        # their exact F targets (tests/test_augment.py) — rotation augmentation
+        # regularizes the encoder against the 10x train/test gap seen at m=1200.
+        train_cfg=TrainConfig(epochs=400, batch_size=4, lr=5e-4, save_interval=5,
+                              augment="c4_vector"),
         m_train=2400,
         m_test=400,
     )

@@ -71,6 +71,22 @@ class TrainConfig:
     # remaining 'data' axis — a DPxTP mesh, like the multichip dryrun
     # (__graft_entry__.dryrun_multichip). 1 = pure DP (the reference is DDP-only).
     tp: int = 1
+    # On-device symmetry augmentation for the square-grid 2-D suites (an exact,
+    # zero-datagen-cost effective-data multiplier the torch reference does not have):
+    #   "d4_scalar": all 8 rot90/flip elements of the square's symmetry group applied
+    #     to (snapshots, scalar target fields). Exact for fpe2d: the well/drag/IC
+    #     parameter distribution is D4-invariant and the grid is symmetric, so each
+    #     transformed sample is a valid draw from the same distribution.
+    #   "c4_vector": the 4 rotations, with target vector components mixed by the
+    #     rotation matrix. For ncfpe2d the spiral force family is axisymmetric, so
+    #     rotated targets (and their normalization stats) map to themselves exactly;
+    #     only the off-center IC moves — rotated snapshot sets are still valid
+    #     solutions for the same force field, regularizing the encoder against the
+    #     10x train/test gap observed at m=1200. Reflections would flip the spiral
+    #     chirality out of the training family and are excluded.
+    # One random group element per step (uniform, incl. identity); eval is never
+    # augmented. Requires 4-D inputs (B, L, H, W) with H == W.
+    augment: str | None = None
 
 
 @dataclass
@@ -81,6 +97,45 @@ class TrainResult:
     best_batch_stats: Any
     best_test_loss: float
     history: list = dc_field(default_factory=list)
+
+
+def _rotate_vec2(y, k: int):
+    """Rotate the last-axis (vx, vy) components by k * 90 deg CCW: (vx,vy)->(-vy,vx)."""
+    for _ in range(k % 4):
+        y = jnp.stack([-y[..., 1], y[..., 0]], axis=-1)
+    return y
+
+
+def make_augment(kind: str | None):
+    """Batch-transform branches for TrainConfig.augment (see the field's docstring).
+
+    Returns a list of fns (x: (B,L,H,W), y: (B,H,W,F)) -> (x, y), one per group
+    element, for use with ``lax.switch``. Orientation convention: grid axis 0 is x,
+    axis 1 is y (``np.meshgrid(..., indexing='ij')``); a +90 deg rotation maps the
+    sample arrays by A'[i, j] = A[j, N-1-i], which is ``jnp.rot90`` with k=1 on the
+    spatial axes, and mixes vector components by (vx, vy) -> (-vy, vx).
+    """
+    if kind is None:
+        return None
+
+    def mk(k: int, flip: bool, vector: bool):
+        def f(x, y):
+            if flip:  # reflection y -> -y (axis 1 of the grid)
+                x = jnp.flip(x, axis=3)
+                y = jnp.flip(y, axis=2)
+            x = jnp.rot90(x, k=k, axes=(2, 3))
+            y = jnp.rot90(y, k=k, axes=(1, 2))
+            if vector:
+                y = _rotate_vec2(y, k)
+            return x, y
+
+        return f
+
+    if kind == "d4_scalar":
+        return [mk(k, fl, False) for fl in (False, True) for k in range(4)]
+    if kind == "c4_vector":
+        return [mk(k, False, True) for k in range(4)]
+    raise ValueError(f"unknown augment kind: {kind!r}")
 
 
 def step_lr(lr: float, gamma: float, step_epochs: int, steps_per_epoch: int):
@@ -96,6 +151,13 @@ def step_lr(lr: float, gamma: float, step_epochs: int, steps_per_epoch: int):
 def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 progress: Callable | None = None) -> TrainResult:
     """Full training run. ``model`` is a flax module taking (x, grid, training=...)."""
+    aug_fns = make_augment(cfg.augment)
+    if aug_fns is not None and (
+        data.inputs.ndim != 4 or data.inputs.shape[2] != data.inputs.shape[3]
+    ):
+        raise ValueError(
+            f"augment={cfg.augment!r} needs square (B, L, H, W) inputs, "
+            f"got {data.inputs.shape}")
     if cfg.tp > 1:
         mesh = data_model_mesh(cfg.tp)
         n_data = mesh.shape["data"]
@@ -160,6 +222,15 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
     def apply(variables, x, training, rngs=None, mutable=False):
         return model.apply(variables, x, grid, training=training, rngs=rngs, mutable=mutable)
 
+    def augmented(xb, yb, rng):
+        """One random symmetry-group element per step (identity included)."""
+        if aug_fns is None:
+            return xb, yb, rng
+        rng, ak = jax.random.split(rng)
+        branch = jax.random.randint(ak, (), 0, len(aug_fns))
+        xb, yb = jax.lax.switch(branch, aug_fns, xb, yb)
+        return xb, yb, rng
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_epoch(params, batch_stats, opt_state, x_all, y_all, batch_idx, step_keys):
         """One epoch fused into a single device program (scan over batches)."""
@@ -170,6 +241,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
             xb = jax.lax.with_sharding_constraint(
                 jnp.take(x_all, idx, axis=0).astype(jnp.float32), dp)
             yb = jax.lax.with_sharding_constraint(jnp.take(y_all, idx, axis=0), dp)
+            xb, yb, rng = augmented(xb, yb, rng)
 
             def loss_fn(p):
                 out, updates = apply(
@@ -195,6 +267,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         xb = jax.lax.with_sharding_constraint(
             jnp.take(x_all, idx, axis=0).astype(jnp.float32), dp)
         yb = jax.lax.with_sharding_constraint(jnp.take(y_all, idx, axis=0), dp)
+        xb, yb, rng = augmented(xb, yb, rng)
 
         def loss_fn(p):
             out, updates = apply(

@@ -1,0 +1,147 @@
+"""TrainConfig.augment (D4/C4 on-device symmetry augmentation).
+
+Validates the orientation conventions analytically against the suites' generating
+families: transforming the sample *arrays* must equal re-generating the sample from
+transformed *parameters* on the symmetric fplanck grid, the vector rule must commute
+with taking gradients, and the NC spiral family (axisymmetric by construction,
+``2d_Non_conservative_FPE/testdata_gen.py:18-25``) must be exactly invariant under
+the C4 rotations used for ncfpe2d.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from blindno.data import generate as G
+from blindno.data.datasets import SetToFieldData
+from blindno.solvers.fokker_planck import grid_from_extent
+from blindno.train.loop import TrainConfig, make_augment, train_model
+
+NM = 1e-9
+
+
+def _grid2d(extent_nm=600):
+    axes = [np.asarray(a) for a in grid_from_extent((extent_nm * NM,) * 2, 10 * NM)]
+    return np.meshgrid(axes[0], axes[1], indexing="ij")
+
+
+def _wells(gx, gy, centers, widths, amps):
+    d2 = ((gx[None] - centers[:, 0, None, None]) ** 2
+          + (gy[None] - centers[:, 1, None, None]) ** 2)
+    return -(amps[:, None, None] * np.exp(-d2 / widths[:, None, None] ** 2)).sum(axis=0)
+
+
+# D4 element i of make_augment("d4_scalar") acts on data as rot^k o flip^s with
+# rot = +90deg CCW; on generating parameters (points) that is c' = R^k(S(c)),
+# R(x, y) = (-y, x), S(x, y) = (x, -y).
+def _d4_on_points(pts, i):
+    k, s = i % 4, i // 4
+    out = pts.copy()
+    if s:
+        out = out * np.array([1.0, -1.0])
+    for _ in range(k):
+        out = np.stack([-out[:, 1], out[:, 0]], axis=1)
+    return out
+
+
+def test_d4_scalar_matches_parameter_transform():
+    """Array transform == re-generating the wells at transformed centers (exact on
+    the symmetric grid — this is what makes the augmentation distribution-exact
+    for fpe2d)."""
+    rng = np.random.default_rng(0)
+    gx, gy = _grid2d(600)
+    centers = rng.uniform(-100 * NM, 100 * NM, size=(3, 2))
+    widths = rng.uniform(20 * NM, 80 * NM, size=3)
+    amps = rng.uniform(1e-20, 2e-20, size=3)
+    u = _wells(gx, gy, centers, widths, amps)
+
+    fns = make_augment("d4_scalar")
+    assert len(fns) == 8
+    x = jnp.asarray(u)[None, None]          # (1, 1, N, N)
+    y = jnp.asarray(u)[None, ..., None]     # (1, N, N, 1)
+    # the transform is an exact permutation; the comparison tolerance only absorbs
+    # f32-vs-f64 evaluation differences in the far exponential tails
+    atol = 1e-6 * np.abs(u).max()
+    for i, f in enumerate(fns):
+        xt, yt = f(x, y)
+        expected = _wells(gx, gy, _d4_on_points(centers, i), widths, amps)
+        np.testing.assert_allclose(np.asarray(xt)[0, 0], expected, atol=atol)
+        np.testing.assert_allclose(np.asarray(yt)[0, ..., 0], expected, atol=atol)
+    # element 0 is the identity
+    xt, yt = fns[0](x, y)
+    np.testing.assert_array_equal(np.asarray(xt), np.asarray(x))
+
+
+def test_c4_vector_commutes_with_gradient():
+    """Rotating a gradient field with the vector rule == gradient of the rotated
+    scalar (np.gradient is a symmetric stencil, so this pins both the spatial map
+    and the component mixing)."""
+    rng = np.random.default_rng(1)
+    gx, gy = _grid2d(600)
+    centers = rng.uniform(-100 * NM, 100 * NM, size=(3, 2))
+    u = _wells(gx, gy, centers, np.full(3, 50 * NM), np.full(3, 1e-20))
+    res = 10 * NM
+    grad = np.stack(np.gradient(u, res, res), axis=-1)  # (N, N, 2) = (dU/dx, dU/dy)
+
+    scalar = make_augment("d4_scalar")
+    vector = make_augment("c4_vector")
+    assert len(vector) == 4
+    atol = 1e-5 * np.abs(grad).max()
+    for k in range(1, 4):
+        _, u_rot = scalar[k](jnp.asarray(u)[None, None], jnp.asarray(u)[None, ..., None])
+        grad_of_rot = np.stack(np.gradient(np.asarray(u_rot)[0, ..., 0], res, res), axis=-1)
+        _, rot_of_grad = vector[k](jnp.zeros((1, 1) + u.shape), jnp.asarray(grad)[None])
+        np.testing.assert_allclose(np.asarray(rot_of_grad)[0], grad_of_rot, atol=atol)
+
+
+def test_spiral_family_invariant_under_c4():
+    """The NC spiral force depends on radius only, so the C4 vector transform maps
+    every sample to itself — rotated targets (and their normalization stats) are
+    exactly in-distribution."""
+    rng = np.random.default_rng(2)
+    gx, gy = _grid2d(800)
+    f = G._spiral_on_grid(gx, gy, G.sample_ncfpe2d_params(rng, 3))  # (3, 2, N, N)
+    y = jnp.asarray(np.moveaxis(f, 1, -1))  # (3, N, N, 2), loader layout
+    x = jnp.zeros((3, 1) + gx.shape)
+    scale = np.abs(f).max()
+    for k, fn in enumerate(make_augment("c4_vector")):
+        _, yt = fn(x, y)
+        np.testing.assert_allclose(np.asarray(yt) / scale, np.asarray(y) / scale,
+                                   atol=1e-6, err_msg=f"k={k}")
+
+
+def test_train_with_augment_smoke():
+    """Augmented 2-D training runs under jit and stays finite (exercises the
+    lax.switch + rng plumbing in train_model; model internals are covered
+    elsewhere — a tiny module keeps this a seconds-scale compile)."""
+    import flax.linen as nn
+
+    class _Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, grid, *, training: bool = False):
+            h = x.mean(axis=1)[..., None]  # (B, H, W, 1)
+            g = jnp.broadcast_to(grid[None], (x.shape[0],) + grid.shape)
+            return nn.Dense(2)(jnp.concatenate([h, g], axis=-1))
+
+    rng = np.random.default_rng(3)
+    n = 12
+    inputs = rng.standard_normal((16, 6, n, n)).astype(np.float32)
+    lin = np.linspace(-1, 1, n, dtype=np.float32)
+    grid = np.stack(np.meshgrid(lin, lin, indexing="ij"), axis=-1)
+    # rotation-consistent target: a radial vector field (so the augmented problem
+    # is self-consistent)
+    rad = np.stack([grid[..., 0], grid[..., 1]], axis=-1)
+    targets = np.broadcast_to(rad, (16, n, n, 2)).astype(np.float32).copy()
+    ds = SetToFieldData(inputs, targets, {})
+
+    cfg = TrainConfig(epochs=2, batch_size=8, save_interval=1, augment="c4_vector")
+    res = train_model(_Tiny(), ds, grid, cfg)
+    assert np.isfinite(res.best_test_loss)
+    assert len(res.history) == 2
+
+
+def test_augment_rejects_non_square():
+    ds = SetToFieldData(np.zeros((4, 3, 8, 10), np.float32),
+                        np.zeros((4, 8, 10, 1), np.float32), {})
+    cfg = TrainConfig(epochs=1, batch_size=2, augment="d4_scalar")
+    with pytest.raises(ValueError, match="square"):
+        train_model(object(), ds, np.zeros((8, 10, 2), np.float32), cfg)
