@@ -168,12 +168,14 @@ PLAN = [
     ("train", "ncfpe2d", "unet", {}, 9000),
     ("retry", "schrodinger1d", "fno", 1, 1100),
     ("retry", "schrodinger1d", "unet", 1, 1400),
+    # fpe2d accuracy experiment first (VERDICT #2 top_next; now D4-augmented via the
+    # registry + reference-exact lr): fno has the worst relative gap (0.206 vs
+    # 0.0447) and augmentation is the diagnosed lever. Needs the 52-min m=8000
+    # regen (est includes it).
+    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 9000),
     # nio's existing row was trained on the (lost) m=1200 set; same test split, so
     # adopt-if-better is a like-for-like comparison on the m=2400 regen.
     ("variant", "ncfpe2d", "nio", ("m2400", {}), 5500),
-    # fpe2d accuracy experiments (VERDICT #2) — need the 52-min m=8000 regen first;
-    # only start if the matrix above left room.
-    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 9000),
     ("variant", "fpe2d", "nio", ("reflr", {"lr": 5e-4}), 12000),
 ]
 
