@@ -118,6 +118,47 @@ def predict_fields(model, params, batch_stats, inputs_norm, grid, batch: int = 1
     return np.concatenate(outs)
 
 
+def tta_indices(kind: str):
+    """Inverse-element index per group element of ``make_augment(kind)``.
+
+    D4 element i<4 is the rotation r^i (inverse r^{(4-i)%4}); i>=4 is the
+    reflection r^k s, an involution (its own inverse). C4: (4-i)%4.
+    """
+    n = 4 if kind == "c4_vector" else 8
+    return [(4 - i) % 4 if i < 4 else i for i in range(n)]
+
+
+def predict_fields_tta(model, params, batch_stats, inputs_norm, grid, kind: str,
+                       batch: int = 16):
+    """Symmetry test-time ensembling: average T_i^{-1}(model(T_i(x))) over the
+    group used for training augmentation (TrainConfig.augment). Exact for the same
+    reason the training augmentation is: every T_i(x) is a valid input and the
+    canonical prediction is the inverse-transformed output."""
+    from blindno.train.loop import make_augment
+
+    fns = make_augment(kind)
+    inv = tta_indices(kind)
+
+    @jax.jit
+    def fwd_all(xb):
+        # 2 channels: the c4 vector rule indexes components 0 and 1
+        dummy_y = jnp.zeros(xb.shape[:1] + xb.shape[2:] + (2,), xb.dtype)
+        outs = []
+        for i, f in enumerate(fns):
+            xt, _ = f(xb, dummy_y)
+            out = model.apply({"params": params, "batch_stats": batch_stats}, xt,
+                              grid, training=False)
+            dummy_x = jnp.zeros_like(xb)
+            _, out_canon = fns[inv[i]](dummy_x, out)
+            outs.append(out_canon)
+        return jnp.mean(jnp.stack(outs), axis=0)
+
+    outs = []
+    for s in range(0, inputs_norm.shape[0], batch):
+        outs.append(np.asarray(fwd_all(jnp.asarray(inputs_norm[s : s + batch]))))
+    return np.concatenate(outs)
+
+
 def evaluate_suite_model(spec, model_name: str, workdir: str, batch: int = 16,
                          save_predictions: bool = True, make_figures: bool = True):
     """Returns a report dict; writes metrics.csv / preds / PNGs under
@@ -167,6 +208,16 @@ def evaluate_suite_model(spec, model_name: str, workdir: str, batch: int = 16,
         "ckpt_epoch": int(ckpt.get("epoch", -1)),
         "ckpt_test_loss": float(ckpt.get("test_loss", float("nan"))),
     }
+    # symmetry test-time ensembling for augmentation-trained suites — reported as an
+    # EXTRA column; the headline metrics above stay the plain single-pass numbers
+    aug_kind = getattr(getattr(spec, "train_cfg", None), "augment", None)
+    if aug_kind:
+        preds_tta = predict_fields_tta(model, ckpt["params"], ckpt["batch_stats"],
+                                       inputs, jnp.asarray(spec.grid), aug_kind, batch)
+        errs_tta = np.asarray(
+            relative_l2_per_field(jnp.asarray(preds_tta), jnp.asarray(test_ds), True))
+        report["mean_rel_l2_per_field_tta"] = errs_tta.mean(axis=0).tolist()
+        report["mean_rel_l2_sum_tta"] = float(errs_tta.sum(axis=1).mean())
     return report
 
 

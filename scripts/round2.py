@@ -66,6 +66,9 @@ def eval_one(suite: str, model: str):
                    rel_l2_sum=rep["mean_rel_l2_sum"],
                    best_ckpt_test_loss=rep["ckpt_test_loss"],
                    eval_s=round(time.time() - t0, 1))
+        if "mean_rel_l2_sum_tta" in rep:  # symmetry test-time ensembling (extra column)
+            row.update(field_rel_l2_tta=rep["mean_rel_l2_per_field_tta"],
+                       rel_l2_sum_tta=rep["mean_rel_l2_sum_tta"])
     except Exception:
         traceback.print_exc()
         row["field_eval_error"] = True

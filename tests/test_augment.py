@@ -139,6 +139,48 @@ def test_train_with_augment_smoke():
     assert len(res.history) == 2
 
 
+def test_tta_inverse_indices():
+    """fns[tta_indices(kind)[i]] undoes fns[i] on the target side."""
+    from blindno.eval.field_eval import tta_indices
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 3, 6, 6)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 6, 6, 2)).astype(np.float32))
+    for kind in ("d4_scalar", "c4_vector"):
+        fns = make_augment(kind)
+        inv = tta_indices(kind)
+        for i, f in enumerate(fns):
+            _, yt = f(x, y)
+            _, y_back = fns[inv[i]](x, yt)
+            np.testing.assert_allclose(np.asarray(y_back), np.asarray(y), rtol=1e-6,
+                                       err_msg=f"{kind} element {i}")
+
+
+def test_tta_equals_plain_for_equivariant_model():
+    """For a D4-equivariant model, symmetry ensembling is a no-op — pins the
+    forward-transform / inverse-transform pairing in predict_fields_tta."""
+    import flax.linen as nn
+
+    from blindno.eval.field_eval import predict_fields_tta
+
+    class _Equiv(nn.Module):
+        @nn.compact
+        def __call__(self, x, grid, *, training: bool = False):
+            m = x.mean(axis=1)
+            return jnp.stack([m, 2.0 * m], axis=-1)  # scalar-equivariant under D4
+
+    rng = np.random.default_rng(5)
+    n = 8
+    x = rng.standard_normal((6, 4, n, n)).astype(np.float32)
+    lin = np.linspace(-1, 1, n, dtype=np.float32)
+    grid = jnp.asarray(np.stack(np.meshgrid(lin, lin, indexing="ij"), axis=-1))
+    model = _Equiv()
+    plain = np.asarray(model.apply({"params": {}, "batch_stats": {}},
+                                   jnp.asarray(x), grid, training=False))
+    tta = predict_fields_tta(model, {}, {}, x, grid, "d4_scalar", batch=4)
+    np.testing.assert_allclose(tta, plain, rtol=1e-5)
+
+
 def test_augment_rejects_non_square():
     ds = SetToFieldData(np.zeros((4, 3, 8, 10), np.float32),
                         np.zeros((4, 8, 10, 1), np.float32), {})
