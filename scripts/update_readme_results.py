@@ -51,6 +51,7 @@ def main():
         ref = REF.get(key)
         e = results.get(key, {})
         te_s = f"{e['time_err_mean']:.4f}" if "time_err_mean" in e else "-"
+        tta_s = f"{e['rel_l2_sum_tta']:.4f}" if "rel_l2_sum_tta" in e else "-"
         if key in summaries:
             loss, tag = summaries[key]
         else:
@@ -63,18 +64,20 @@ def main():
             status = ", ".join(s for s in (status, "round-1 run (not re-evaluated this round)") if s)
         elif tag == "partial":
             status = ", ".join(s for s in (status, "preempted (resumable)") if s)
-        rows.append(f"| {suite} | {NAMES.get(model, model)} | {loss:.4f} | "
+        rows.append(f"| {suite} | {NAMES.get(model, model)} | {loss:.4f} | {tta_s} | "
                     f"{ref if ref else '-'} | {te_s} | {status} |")
 
     section = "\n".join([
         "## Results",
         "",
         "Best test rel-L2 (sum over output fields, reference metric incl. its",
-        "full-target-denominator quirk); time-err = solution-space time-averaged",
-        "density rollout error (the reference never recorded its own values).",
+        "full-target-denominator quirk); TTA = symmetry test-time ensembling on the",
+        "augmentation-trained 2-D suites (extra evidence column, not the headline);",
+        "time-err = solution-space time-averaged density rollout error (the",
+        "reference never recorded its own values).",
         "",
-        "| Suite | Model | ours | reference | time-err | |",
-        "|---|---|---|---|---|---|",
+        "| Suite | Model | ours | ours (TTA) | reference | time-err | |",
+        "|---|---|---|---|---|---|---|",
         *rows,
         "",
         "Throughput: `bench.py` measures the full 2D FPE NIO train step on one TPU",
