@@ -122,8 +122,11 @@ def tta_indices(kind: str):
     """Inverse-element index per group element of ``make_augment(kind)``.
 
     D4 element i<4 is the rotation r^i (inverse r^{(4-i)%4}); i>=4 is the
-    reflection r^k s, an involution (its own inverse). C4: (4-i)%4.
+    reflection r^k s, an involution (its own inverse). C4: (4-i)%4. flip1d:
+    both elements are involutions.
     """
+    if kind == "flip1d":
+        return [0, 1]
     n = 4 if kind == "c4_vector" else 8
     return [(4 - i) % 4 if i < 4 else i for i in range(n)]
 

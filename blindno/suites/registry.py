@@ -97,7 +97,10 @@ _register(
                 input_size=(80,), depth=6, width=30, fno_modes=15, head_dims=(1, 1), subsample=False
             ),
         },
-        train_cfg=TrainConfig(epochs=400, batch_size=32, lr=1e-3, save_interval=10),
+        # augment: wells are sampled symmetrically about 0 on a symmetric grid, so
+        # parity x->-x is an exact 2x effective-data multiplier (tests/test_augment.py)
+        train_cfg=TrainConfig(epochs=400, batch_size=32, lr=1e-3, save_interval=10,
+                              augment="flip1d"),
         m_train=8000,
         m_test=100,
     )
@@ -120,7 +123,10 @@ _register(
                 input_size=(128,), depth=4, width=10, fno_modes=30, head_dims=(1,), subsample=True
             ),
         },
-        train_cfg=TrainConfig(epochs=400, batch_size=32, lr=1e-3, save_interval=10),
+        # augment: V-family params are symmetric about 0 on linspace(-10,10,128) and
+        # the sin(x)/cosh(x) IC is odd, so parity is exact (tests/test_augment.py)
+        train_cfg=TrainConfig(epochs=400, batch_size=32, lr=1e-3, save_interval=10,
+                              augment="flip1d"),
         m_train=6000,
         m_test=1200,
     )
@@ -143,7 +149,10 @@ _register(
                 input_size=(128,), depth=4, width=20, fno_modes=40, head_dims=(1,), subsample=True
             ),
         },
-        train_cfg=TrainConfig(epochs=400, batch_size=32, lr=1e-3, save_interval=10),
+        # augment: V-family params are symmetric about 0 on linspace(-10,10,128) and
+        # the sin(x)/cosh(x) IC is odd, so parity is exact (tests/test_augment.py)
+        train_cfg=TrainConfig(epochs=400, batch_size=32, lr=1e-3, save_interval=10,
+                              augment="flip1d"),
         m_train=6000,
         m_test=1200,
     )
@@ -163,7 +172,8 @@ _register(
                 width=25, modes=32, fno_layers=4, head_dims=(1, 2), encoder_final_convs=ENC_GPE128
             ),
         },
-        train_cfg=TrainConfig(epochs=1000, batch_size=32, lr=1e-3, save_interval=10),
+        train_cfg=TrainConfig(epochs=1000, batch_size=32, lr=1e-3, save_interval=10,
+                              augment="flip1d"),
         m_train=6000,
         m_test=1200,
         train_file="gpe1d_train.npz",  # shares the g=kappa=2 orbits with the gpe1d suite

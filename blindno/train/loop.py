@@ -135,6 +135,17 @@ def make_augment(kind: str | None):
         return [mk(k, fl, False) for fl in (False, True) for k in range(4)]
     if kind == "c4_vector":
         return [mk(k, False, True) for k in range(4)]
+    if kind == "flip1d":
+        # parity x -> -x for the 1-D suites: the well/V-potential parameter
+        # distributions are symmetric about 0 and the grids are symmetric
+        # (fpe1d: (arange(n)-(n-1)/2)*res; GPE: linspace(-10,10,128)), so the
+        # flipped (snapshots, fields) pair is an exact draw from the same
+        # distribution (for GPE, |psi(-x,t)| solves with V(-x) since the
+        # sin(x)/cosh(x) IC is odd — a global -1 phase that |.| erases).
+        return [
+            lambda x, y: (x, y),
+            lambda x, y: (jnp.flip(x, axis=2), jnp.flip(y, axis=1)),
+        ]
     raise ValueError(f"unknown augment kind: {kind!r}")
 
 
@@ -152,7 +163,11 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 progress: Callable | None = None) -> TrainResult:
     """Full training run. ``model`` is a flax module taking (x, grid, training=...)."""
     aug_fns = make_augment(cfg.augment)
-    if aug_fns is not None and (
+    if cfg.augment == "flip1d":
+        if data.inputs.ndim != 3:
+            raise ValueError(
+                f"augment='flip1d' needs (B, L, Nx) inputs, got {data.inputs.shape}")
+    elif aug_fns is not None and (
         data.inputs.ndim != 4 or data.inputs.shape[2] != data.inputs.shape[3]
     ):
         raise ValueError(

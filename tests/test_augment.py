@@ -139,6 +139,39 @@ def test_train_with_augment_smoke():
     assert len(res.history) == 2
 
 
+def test_flip1d_matches_parameter_transform():
+    """fpe1d: flipping the arrays == re-generating wells at negated centers;
+    GPE: flipping V == the V-family member with x0 -> -x0."""
+    rng = np.random.default_rng(6)
+    fns = make_augment("flip1d")
+    assert len(fns) == 2
+
+    x = np.asarray(grid_from_extent(800 * NM, 10 * NM)[0])
+    centers = rng.uniform(-150 * NM, 150 * NM, size=(1, 3))
+    widths = rng.uniform(20 * NM, 80 * NM, size=(1, 3))
+    amps = rng.uniform(1e-20, 2e-20, size=(1, 3))
+    u = G._wells_on_grid(x, centers, widths, amps)  # (1, 80)
+    xt, yt = fns[1](jnp.asarray(u)[:, None, :], jnp.asarray(u)[..., None])
+    expected = G._wells_on_grid(x, -centers, widths, amps)
+    np.testing.assert_allclose(np.asarray(xt)[:, 0], expected,
+                               atol=1e-6 * np.abs(u).max())
+    np.testing.assert_allclose(np.asarray(yt)[..., 0], expected,
+                               atol=1e-6 * np.abs(u).max())
+
+    xg = np.linspace(-10.0, 10.0, 128)
+    a, b, c, x0 = 0.2, 1.3, 1.7, 2.1
+    v = a * (xg - x0) ** 2 + b * np.cos(c * (xg - x0)) ** 2
+    v_neg = a * (xg + x0) ** 2 + b * np.cos(c * (xg + x0)) ** 2
+    _, vt = fns[1](jnp.zeros((1, 1, 128)), jnp.asarray(v)[None, :, None])
+    np.testing.assert_allclose(np.asarray(vt)[0, :, 0], v_neg, rtol=1e-6)
+
+    # both elements are involutions and tta_indices says so
+    from blindno.eval.field_eval import tta_indices
+    assert tta_indices("flip1d") == [0, 1]
+    _, back = fns[1](jnp.zeros((1, 1, 128)), vt)
+    np.testing.assert_allclose(np.asarray(back)[0, :, 0], v, rtol=1e-6)
+
+
 def test_tta_inverse_indices():
     """fns[tta_indices(kind)[i]] undoes fns[i] on the target side."""
     from blindno.eval.field_eval import tta_indices
