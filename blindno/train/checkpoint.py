@@ -21,22 +21,28 @@ def _checkpointer():
 
 
 def _best_loss_of(path: str) -> float:
-    """Parse the loss out of a ``best_{loss:.6f}`` directory name."""
+    """Parse the loss out of a ``best_{loss:.6f}[_e{epoch}]`` directory name
+    (both the current epoch-stamped and the pre-round-3 loss-only formats)."""
     try:
-        return float(os.path.basename(path).split("_", 1)[1])
+        return float(os.path.basename(path).split("_")[1])
     except (IndexError, ValueError):
         return float("inf")
 
 
 def save_best(ckpt_dir: str, params, batch_stats, epoch: int, test_loss: float):
-    """Save best params/batch_stats to ``{dir}/best_{loss:.6f}``.
+    """Save best params/batch_stats to ``{dir}/best_{loss:.6f}_e{epoch}``.
 
-    The new checkpoint is written BEFORE older ``best_*`` dirs are deleted, so a crash
+    The epoch suffix keeps names unique when two improvements round to the same
+    6-decimal loss (orbax refuses to overwrite an existing destination — observed
+    mid-round-3 on gpe1d_vgk at epochs 400/410, both ``best_0.005315``). The new
+    checkpoint is written BEFORE older ``best_*`` dirs are deleted, so a crash
     mid-save never leaves the directory empty (and ``load_best`` picks the numerically
     best if more than one survives)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     olds = glob.glob(os.path.join(ckpt_dir, "best_*"))
-    path = os.path.abspath(os.path.join(ckpt_dir, f"best_{test_loss:.6f}"))
+    path = os.path.abspath(os.path.join(ckpt_dir, f"best_{test_loss:.6f}_e{epoch}"))
+    if os.path.exists(path):  # same loss AND epoch: a resume replay; replace it
+        shutil.rmtree(path, ignore_errors=True)
     ckptr = _checkpointer()
     state = {
         "params": jax.tree.map(lambda a: a, params),

@@ -82,3 +82,18 @@ def test_compress_inputs_trains_equivalently(tmp_path):
     assert np.isfinite(res_bf16.best_test_loss)
     # quantizing inputs to bf16 (~0.4% rel) must not change training materially
     assert abs(res_bf16.best_test_loss - res_f32.best_test_loss) < 0.1 * res_f32.best_test_loss
+
+
+def test_save_best_same_rounded_loss_no_collision(tmp_path):
+    """Two improvements that round to the same 6-decimal loss must both save.
+
+    Regression: orbax StandardCheckpointer refuses to overwrite an existing
+    destination, so ``best_{loss:.6f}`` alone crashed when consecutive bests
+    differed only past the 6th decimal (gpe1d_vgk round 3, epochs 400/410)."""
+    params = {"w": jnp.ones((3,))}
+    d = str(tmp_path / "ckpt")
+    save_best(d, params, {}, epoch=400, test_loss=0.0053151)
+    save_best(d, {"w": 2 * jnp.ones((3,))}, {}, epoch=410, test_loss=0.0053148)
+    restored = load_best(d)
+    assert restored["epoch"] == 410
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 2.0)
