@@ -155,28 +155,27 @@ def retrain_variant(suite, model, tag, overrides):
 # loses the least: 1-D matrix, then NC completion at m=2400, then deadline-guarded
 # fpe2d accuracy experiments. est includes datagen where the stage triggers it.
 PLAN = [
-    ("train", "fpe1d", "fno", {}, 1200),
-    ("train", "fpe1d", "unet", {}, 1600),
-    ("train", "schrodinger1d", "nio", {}, 1100),
-    ("train", "schrodinger1d", "fno", {}, 1100),
-    ("train", "schrodinger1d", "unet", {}, 1400),
-    ("train", "gpe1d", "nio", {}, 1100),
-    ("train", "gpe1d", "fno", {}, 1100),
-    ("train", "gpe1d", "unet", {}, 1400),
-    ("train", "gpe1d_vgk", "nio", {}, 2400),
-    ("train", "ncfpe2d", "fno", {}, 11000),  # + m=2400 datagen on first NC stage
-    ("train", "ncfpe2d", "unet", {}, 9000),
+    # Session-3 restart: the 1-D matrix + gpe1d matrix completed (summaries skip);
+    # gpe1d_vgk crashed at epoch 410 on the best-ckpt name collision (fixed in
+    # train/checkpoint.py) — resume it from epoch 400 first.
+    ("train", "gpe1d_vgk", "nio", {}, 2200),
+    # Cheap 1-D near-miss close-out (fno auto-skips: 0.0447 already beats 0.0483).
+    ("retry", "schrodinger1d", "unet", 1, 1600),
     ("retry", "schrodinger1d", "fno", 1, 1100),
-    ("retry", "schrodinger1d", "unet", 1, 1400),
-    # fpe2d accuracy experiment first (VERDICT #2 top_next; now D4-augmented via the
-    # registry + reference-exact lr): fno has the worst relative gap (0.206 vs
-    # 0.0447) and augmentation is the diagnosed lever. Needs the 52-min m=8000
-    # regen (est includes it).
-    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 9000),
+    # NC completion (VERDICT Missing #3) on the m=2400 set generated this session;
+    # C4-augmented via the registry.
+    ("train", "ncfpe2d", "fno", {}, 10000),
+    # Flagship experiment (VERDICT top_next): fpe2d/unet was trained in session 1
+    # BEFORE D4 augmentation existed; retrain augmented at the same lr 5e-4,
+    # adopt-if-better. est includes the 52-min m=8000 regen (dataset was wiped).
+    ("variant", "fpe2d", "unet", ("auglr", {"lr": 5e-4}), 11500),
+    ("train", "ncfpe2d", "unet", {}, 9500),
+    # fno has the worst relative gap (0.206 vs 0.0447); D4-augmented + ref-exact lr.
+    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 10000),
     # nio's existing row was trained on the (lost) m=1200 set; same test split, so
     # adopt-if-better is a like-for-like comparison on the m=2400 regen.
-    ("variant", "ncfpe2d", "nio", ("m2400", {}), 5500),
-    ("variant", "fpe2d", "nio", ("reflr", {"lr": 5e-4}), 12000),
+    ("variant", "ncfpe2d", "nio", ("m2400", {}), 9500),
+    ("variant", "fpe2d", "nio", ("reflr", {"lr": 5e-4}), 10500),
 ]
 
 
