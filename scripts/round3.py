@@ -123,17 +123,27 @@ def retrain_variant(suite, model, tag, overrides):
         f"({time.time() - t0:.0f}s)" + ("" if finished else " (preempted)"))
     if not finished:
         return
-    if res.best_test_loss < old_best:
-        main_dir = os.path.join(W, "ckpt", f"{suite}_{model}")
+    main_dir = os.path.join(W, "ckpt", f"{suite}_{model}")
+    # Adopt when better, but ALSO when the incumbent checkpoint no longer exists
+    # (mid-round host wipe): a slightly-worse row backed by an on-disk checkpoint
+    # beats a better row whose artifact is gone (VERDICT r2 Weak #6). The old
+    # number is preserved in the summary as prewipe_best.
+    adopt = res.best_test_loss < old_best or not os.path.isdir(main_dir)
+    if adopt:
+        summary = {"suite": suite, "model": model, "variant": tag,
+                   "best_test_loss": res.best_test_loss,
+                   "wall_s": time.time() - t0,
+                   "cfg": {"lr": cfg.lr, "batch_size": cfg.batch_size,
+                           "epochs": cfg.epochs, "seed": cfg.seed},
+                   "history": res.history}
+        if not res.best_test_loss < old_best:
+            summary["prewipe_best"] = old_best
+            log(f"  adopting {tag} despite {res.best_test_loss:.6f} >= "
+                f"{old_best:.6f}: incumbent checkpoint lost in host wipe")
         shutil.rmtree(main_dir, ignore_errors=True)
         shutil.move(cfg.ckpt_dir, main_dir)
         with open(summary_path, "w") as fh:
-            json.dump({"suite": suite, "model": model, "variant": tag,
-                       "best_test_loss": res.best_test_loss,
-                       "wall_s": time.time() - t0,
-                       "cfg": {"lr": cfg.lr, "batch_size": cfg.batch_size,
-                               "epochs": cfg.epochs, "seed": cfg.seed},
-                       "history": res.history}, fh, indent=1)
+            json.dump(summary, fh, indent=1)
         rows = _load_rows()
         rows.pop((suite, model), None)
         with open(ROWS, "w") as fh:
@@ -144,7 +154,35 @@ def retrain_variant(suite, model, tag, overrides):
         shutil.rmtree(cfg.ckpt_dir, ignore_errors=True)
     with open(done_marker, "w") as fh:
         json.dump({"best": res.best_test_loss, "old": old_best,
-                   "adopted": res.best_test_loss < old_best}, fh)
+                   "adopted": adopt}, fh)
+
+
+def reevidence(suite, model):
+    """Retrain a row whose checkpoint was lost in the host wipe, then re-eval.
+
+    The old summary/row are preserved under *_prewipe names; the fresh run uses the
+    identical registry config (same seed, same regenerated data), so the new row is
+    a reproduction, not a variant.
+    """
+    from blindno.suites.registry import SUITES
+
+    summary_path = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+    ckpt_dir = os.path.join(W, "ckpt", f"{suite}_{model}")
+    if os.path.isdir(ckpt_dir):
+        log(f"skip re-evidence {suite}/{model} (checkpoint exists)")
+        return
+    if os.path.exists(summary_path):
+        os.replace(summary_path,
+                   os.path.join(W, "logs", f"{suite}_{model}_summary_prewipe.json"))
+    rows = _load_rows()
+    old = rows.pop((suite, model), None)
+    if old is not None:
+        with open(os.path.join(W, "logs", f"{suite}_{model}_row_prewipe.json"), "w") as fh:
+            json.dump(old, fh)
+        with open(ROWS, "w") as fh:
+            for r in rows.values():
+                fh.write(json.dumps(r) + "\n")
+    train_one_cfg(SUITES[suite], model)
 
 
 # (kind, suite, model, overrides, est_cost_s). Long stages are skipped when the
@@ -154,6 +192,11 @@ def retrain_variant(suite, model, tag, overrides):
 # (seed-deterministic — identical content). Cheapest-rows-first so a second wipe
 # loses the least: 1-D matrix, then NC completion at m=2400, then deadline-guarded
 # fpe2d accuracy experiments. est includes datagen where the stage triggers it.
+# Session-5 reorder (entries 1-4 complete, summaries/done-markers skip them):
+# cheap fpe1d/nio re-evidence first, flagship fpe2d/unet augmented retrain, then
+# the ncfpe2d/unet first-ever row, the fpe2d fno/nio lr-variants, and the seed-2
+# schrodinger retry. Ests re-derived from session-1/2 measured wall times on this
+# 1-core host (npz loads are ~20-45 min serial, included).
 PLAN = [
     # Session-3 restart: the 1-D matrix + gpe1d matrix completed (summaries skip);
     # gpe1d_vgk crashed at epoch 410 on the best-ckpt name collision (fixed in
@@ -165,13 +208,19 @@ PLAN = [
     # NC completion (VERDICT Missing #3) on the m=2400 set generated this session;
     # C4-augmented via the registry.
     ("train", "ncfpe2d", "fno", {}, 10000),
+    # fpe1d/nio beats ref but its checkpoint was lost in the wipe; 30-min rerun.
+    ("reevidence", "fpe1d", "nio", None, 2200),
     # Flagship experiment (VERDICT top_next): fpe2d/unet was trained in session 1
     # BEFORE D4 augmentation existed; retrain augmented at the same lr 5e-4,
-    # adopt-if-better. est includes the 52-min m=8000 regen (dataset was wiped).
-    ("variant", "fpe2d", "unet", ("auglr", {"lr": 5e-4}), 11500),
-    ("train", "ncfpe2d", "unet", {}, 9500),
+    # adopt-if-better (or if-incumbent-wiped). est includes the 52-min m=8000
+    # regen (dataset was wiped) + ~20-min load + ~3h train.
+    ("variant", "fpe2d", "unet", ("auglr", {"lr": 5e-4}), 15000),
+    # Last first-ever NC row; ~45-min load + train at unet-2d throughput.
+    ("train", "ncfpe2d", "unet", {}, 10000),
     # fno has the worst relative gap (0.206 vs 0.0447); D4-augmented + ref-exact lr.
-    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 10000),
+    # fpe2d data is on disk once the unet stage above has run.
+    ("variant", "fpe2d", "fno", ("reflr", {"lr": 5e-4}), 7000),
+    ("retry", "schrodinger1d", "unet", 2, 1900),
     # nio's existing row was trained on the (lost) m=1200 set; same test split, so
     # adopt-if-better is a like-for-like comparison on the m=2400 regen.
     ("variant", "ncfpe2d", "nio", ("m2400", {}), 9500),
@@ -184,6 +233,8 @@ def _stage_pending(kind, suite, model, arg):
     if kind == "train":
         return not os.path.exists(
             os.path.join(W, "logs", f"{suite}_{model}_summary.json"))
+    if kind == "reevidence":
+        return not os.path.isdir(os.path.join(W, "ckpt", f"{suite}_{model}"))
     tag = arg if kind == "variant" else None
     run = f"{suite}_{model}_{tag[0]}" if kind == "variant" else f"{suite}_{model}_s{arg}"
     if os.path.exists(os.path.join(W, "logs", f"{run}_done.json")):
@@ -218,6 +269,8 @@ def main():
                 ensure_data(spec)  # no-op when the npz files exist
             if kind == "train":
                 train_one_cfg(spec, model, arg)
+            elif kind == "reevidence":
+                reevidence(suite, model)
             elif kind == "retry":
                 retrain_if_better(suite, model, seed=arg)
             elif kind == "variant":

@@ -34,8 +34,8 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from run_all import W, ensure_data, log, stop_requested  # noqa: E402
-from round2 import compose_results, eval_one, retrain_if_better, _load_rows, ROWS  # noqa: E402
-from round3 import train_one_cfg, retrain_variant  # noqa: E402
+from round2 import compose_results, eval_one, retrain_if_better  # noqa: E402
+from round3 import train_one_cfg, retrain_variant, reevidence  # noqa: E402
 from run_eval import REFERENCE  # noqa: E402
 
 DEADLINE = float(os.environ.get("BLINDNO_DEADLINE", time.time() + 2.4 * 3600))
@@ -43,34 +43,6 @@ DEADLINE = float(os.environ.get("BLINDNO_DEADLINE", time.time() + 2.4 * 3600))
 
 def remaining():
     return DEADLINE - time.time()
-
-
-def reevidence(suite, model):
-    """Retrain a row whose checkpoint was lost in the host wipe, then re-eval.
-
-    The old summary/row are preserved under *_prewipe names; the fresh run uses the
-    identical registry config (same seed, same regenerated data), so the new row is
-    a reproduction, not a variant.
-    """
-    summary_path = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
-    ckpt_dir = os.path.join(W, "ckpt", f"{suite}_{model}")
-    if os.path.isdir(ckpt_dir):
-        log(f"skip re-evidence {suite}/{model} (checkpoint exists)")
-        return
-    if os.path.exists(summary_path):
-        os.replace(summary_path,
-                   os.path.join(W, "logs", f"{suite}_{model}_summary_prewipe.json"))
-    rows = _load_rows()
-    old = rows.pop((suite, model), None)
-    if old is not None:
-        with open(os.path.join(W, "logs", f"{suite}_{model}_row_prewipe.json"), "w") as fh:
-            json.dump(old, fh)
-        with open(ROWS, "w") as fh:
-            for r in rows.values():
-                fh.write(json.dumps(r) + "\n")
-    from blindno.suites.registry import SUITES
-
-    train_one_cfg(SUITES[suite], model)
 
 
 def _row_beats_ref(suite, model):
