@@ -127,16 +127,23 @@ def tta_indices(kind: str):
     """
     if kind == "flip1d":
         return [0, 1]
-    n = 4 if kind == "c4_vector" else 8
-    return [(4 - i) % 4 if i < 4 else i for i in range(n)]
+    if kind == "c4_vector":
+        return [(4 - i) % 4 for i in range(4)]
+    if kind == "d4_scalar":
+        return [(4 - i) % 4 if i < 4 else i for i in range(8)]
+    # mirror make_augment's strictness: a new augment kind with a different element
+    # ordering must register its inverse table here, not inherit the D4 one
+    raise ValueError(f"unknown augment kind: {kind!r}")
 
 
 def predict_fields_tta(model, params, batch_stats, inputs_norm, grid, kind: str,
                        batch: int = 16):
     """Symmetry test-time ensembling: average T_i^{-1}(model(T_i(x))) over the
-    group used for training augmentation (TrainConfig.augment). Exact for the same
-    reason the training augmentation is: every T_i(x) is a valid input and the
-    canonical prediction is the inverse-transformed output."""
+    group used for training augmentation (TrainConfig.augment). Valid for the same
+    reason the training augmentation is: every T_i(x) is a population-level draw
+    from the same distribution and the canonical prediction is the inverse-
+    transformed output (per-gridpoint empirical normalization stats commute with
+    the group only up to finite-sample noise; see TrainConfig.augment)."""
     from blindno.train.loop import make_augment
 
     fns = make_augment(kind)

@@ -68,11 +68,16 @@ def fpe1d_rollout_error(u_true, drag_true, u_pred, drag_pred, *,
 # ------------------------------------------------------------------ 2D FPE (superset: no reference script exists)
 
 def fpe2d_rollout_error(u_true, gamma_true, u_pred, gamma_pred, *,
-                        tf: float = 2e-4, nsteps: int = 200,
+                        tf: float = 2e-4, nsteps: int = 1000,
                         extent=(600 * NM, 600 * NM), resolution: float = 10 * NM,
                         init_width: float = 50 * NM, batch: int = 4):
     """Batched 2-D version (the reference only ships ``cal_traj.py`` rollouts for this
-    suite; the metric itself is the same formula). args (M, Nx, Ny)."""
+    suite; the metric itself is the same formula). args (M, Nx, Ny).
+
+    nsteps=1000 matches the reference's recorded time grid
+    (``2d_FPE/cal_traj.py:150-151``: propagate_interval(pdf, 2e-4, Nsteps=1000));
+    the trajectory propagation cost is one expm + nsteps matvecs, so the finer
+    quadrature is nearly free (round-3 verdict: rounds 1-3 used nsteps=200)."""
     axes = [np.asarray(a) for a in grid_from_extent(extent, resolution)]
     gx, gy = np.meshgrid(axes[0], axes[1], indexing="ij")
     p0 = np.exp(-((gx / init_width) ** 2) - ((gy / init_width) ** 2))

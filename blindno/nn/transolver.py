@@ -141,8 +141,8 @@ class Transolver(nn.Module):
     """Structured-mesh / irregular-mesh Transolver model (``:77-174``).
 
     __call__(x, fx): x = positions or unified-pos features, fx = function values (or
-    None). Mirrors the reference call convention ``model(values, positions)`` used by
-    the NIO wrappers via :meth:`encode_snapshots`.
+    None) — the reference call convention ``model(fx, x)`` used by the NIO wrappers
+    (``2d_FPE/NIOModules.py:105-117``).
     """
 
     space_dim: int = 2

@@ -4,6 +4,11 @@ JAX-native re-implementations of the (uninstalled) ``fplanck`` helpers the refer
 uses for data generation (usage surface: ``/root/reference/1d_FPE/dataset_1d_drift_diffusion.py:3,45-62``,
 ``2d_FPE/test_datagen.py:19-43``, ``2d_Non_conservative_FPE/testdata_gen.py:18-25``).
 Everything is a plain function of grid coordinate arrays; ``combine`` sums callables.
+
+The width / sign / normalization conventions assumed here (1/e half-width, attractive
+wells for positive amplitude, solver-side mass normalization) are derived and
+risk-bounded in ``docs/fplanck_conventions.md`` — fplanck itself cannot be installed
+in this environment, so that note is the convention contract.
 """
 from __future__ import annotations
 

@@ -202,14 +202,18 @@ _register(
             "attn": lambda: NIOAttn2D(width=12, modes=32, encoder_final_kernel=(2, 1)),
         },
         # reference: bs 4/process, lr 5e-4 under multi-GPU Accelerate DDP
-        # (2d_FPE/train_nio.py:83-116) — effective batch 4*N_gpu. We train the
-        # DDP-equivalent global batch 16 with lr 2x on one chip (round-1 finding:
-        # m=2000 plateaus with a large train/test gap; m=8000 matches the 1-D suite).
+        # (2d_FPE/train_nio.py:83-116) — effective batch 4*N_gpu; we train the
+        # DDP-equivalent global batch 16 at the reference-exact lr 5e-4 (the lr that
+        # produced every adopted fpe2d row; rounds 1-3 also tried lr 1e-3 = "bs16,
+        # lr 2x" — it was never better). m=8000: round-1's m=2000 plateaued with a
+        # large train/test gap.
         # compress_inputs: the m=8000 snapshot tensor is ~12 GB in f32 vs 16 GB HBM.
-        # augment: the well/drag/IC distribution is exactly D4-invariant on the
-        # symmetric grid (tests/test_augment.py), so rot/flip augmentation is a free
-        # 8x effective-data multiplier against the diagnosed data-starvation plateau.
-        train_cfg=TrainConfig(epochs=400, batch_size=16, lr=1e-3, save_interval=5,
+        # augment: the well/drag/IC distribution is D4-invariant on the symmetric
+        # grid, so rot/flip augmentation is a free 8x effective-data multiplier
+        # against the diagnosed data-starvation plateau (exact at population level;
+        # the per-gridpoint empirical normalization stats commute only up to
+        # O(sigma/sqrt(m)) sampling noise — tests/test_augment.py).
+        train_cfg=TrainConfig(epochs=400, batch_size=16, lr=5e-4, save_interval=5,
                               compress_inputs=True, augment="d4_scalar"),
         m_train=8000,
         m_test=400,
@@ -239,7 +243,8 @@ _register(
         # at this size with the scaling-and-squaring expm_markov (~2x faster/sample).
         # This value IS the dataset size — no per-script overrides (VERDICT r2 weak #3).
         # augment: the spiral family is axisymmetric, so C4-rotated samples keep
-        # their exact F targets (tests/test_augment.py) — rotation augmentation
+        # their F targets (exact at population level; per-gridpoint stats commute up
+        # to finite-sample noise — tests/test_augment.py); rotation augmentation
         # regularizes the encoder against the 10x train/test gap seen at m=1200.
         train_cfg=TrainConfig(epochs=400, batch_size=4, lr=5e-4, save_interval=5,
                               augment="c4_vector"),

@@ -41,8 +41,15 @@ def save_best(ckpt_dir: str, params, batch_stats, epoch: int, test_loss: float):
     os.makedirs(ckpt_dir, exist_ok=True)
     olds = glob.glob(os.path.join(ckpt_dir, "best_*"))
     path = os.path.abspath(os.path.join(ckpt_dir, f"best_{test_loss:.6f}_e{epoch}"))
-    if os.path.exists(path):  # same loss AND epoch: a resume replay; replace it
-        shutil.rmtree(path, ignore_errors=True)
+    if os.path.exists(path):
+        # same loss AND epoch: a resume replay. Move the old dir ASIDE (it still
+        # parses as a valid fallback for load_best) and delete it only after the
+        # new save lands — rmtree-before-save would leave the dir best-less if the
+        # process died mid-save (round-3 advisor finding).
+        aside = path + ".old"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(path, aside)
+        olds = [aside if os.path.abspath(o) == path else o for o in olds]
     ckptr = _checkpointer()
     state = {
         "params": jax.tree.map(lambda a: a, params),

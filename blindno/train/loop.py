@@ -86,7 +86,23 @@ class TrainConfig:
     #     chirality out of the training family and are excluded.
     # One random group element per step (uniform, incl. identity); eval is never
     # augmented. Requires 4-D inputs (B, L, H, W) with H == W.
+    #
+    # Exactness caveat (round-3 advisor): the group transform is exact on the raw
+    # fields at the population level, but the FPE suites normalize with per-gridpoint
+    # empirical train-set stats, which are only group-symmetric up to O(sigma/sqrt(m))
+    # sampling noise — augmented labels therefore carry that much orientation noise.
+    # The GPE suites use a global scalar /max, which commutes exactly.
     augment: str | None = None
+    # Early stop: end the run when the best test loss has not improved for this many
+    # epochs (checked at eval intervals; None = reference-exact fixed-epoch behavior).
+    # A run stopped this way counts as finished (TrainResult.finished) — the best
+    # checkpoint is already saved and StepLR has decayed far below its plateau.
+    # On resume the patience counter restarts from the resumed epoch (resume state
+    # does not record the best epoch).
+    early_stop_patience: int | None = None
+    # When set, write one jax.profiler trace of a single steady-state epoch
+    # (start_epoch+2, after compile) under this directory (SURVEY 5.1 hook).
+    profile_dir: str | None = None
 
 
 @dataclass
@@ -97,6 +113,10 @@ class TrainResult:
     best_batch_stats: Any
     best_test_loss: float
     history: list = dc_field(default_factory=list)
+    # True when the run ended on its own terms (all epochs, or early-stop patience
+    # exhausted) rather than by preemption/divergence — drivers use this to decide
+    # whether to write the run's summary or leave it resumable.
+    finished: bool = False
 
 
 def _rotate_vec2(y, k: int):
@@ -314,7 +334,18 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
         (jnp.asarray(i), jnp.asarray(m)) for i, m in eval_batches(n_test, cfg.batch_size)
     ]
 
+    best_epoch = start_epoch - 1
+    finished = True  # any break below (divergence/preemption) flips it
+    tracing = False
     for epoch in range(start_epoch, cfg.epochs + 1):
+        if cfg.profile_dir:
+            # one steady-state epoch (after the compile epoch), SURVEY 5.1 hook
+            if epoch == start_epoch + 2:
+                jax.profiler.start_trace(cfg.profile_dir)
+                tracing = True
+            elif tracing:
+                jax.profiler.stop_trace()
+                tracing = False
         key, pk, sk = jax.random.split(key, 3)
         perm = jax.random.permutation(pk, train_idx.shape[0])
         batch_idx = perm[: steps_per_epoch * cfg.batch_size].reshape(steps_per_epoch, cfg.batch_size)
@@ -339,6 +370,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
             # divergence guard: stop immediately; the last finite resume state (if
             # any) is what a future invocation continues from
             logger.log({"event": "diverged", "epoch": epoch, "train_loss": train_loss})
+            finished = False
             break
 
         if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
@@ -363,9 +395,11 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 # never checkpoint a poisoned state: a NaN test loss means the params
                 # are already non-finite; stop and leave the last finite resume state
                 logger.log({"event": "diverged", "epoch": epoch, "test_loss": test_loss})
+                finished = False
                 break
             if test_loss < best_loss:
                 best_loss = test_loss
+                best_epoch = epoch
                 best_params = jax.tree.map(lambda a: a.copy(), params)
                 best_stats = jax.tree.map(lambda a: a.copy(), batch_stats)
                 if cfg.ckpt_dir:
@@ -376,6 +410,11 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 from blindno.train.checkpoint import save_resume
 
                 save_resume(cfg.ckpt_dir, params, batch_stats, opt_state, epoch, best_loss)
+            if (cfg.early_stop_patience is not None
+                    and epoch - best_epoch >= cfg.early_stop_patience):
+                logger.log({"event": "early_stop", "epoch": epoch,
+                            "best_epoch": best_epoch, "best_loss": best_loss})
+                break
 
         if cfg.stop_file and __import__("os").path.exists(cfg.stop_file):
             if cfg.ckpt_dir:
@@ -383,7 +422,11 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
 
                 save_resume(cfg.ckpt_dir, params, batch_stats, opt_state, epoch, best_loss)
             logger.log({"event": "preempted", "epoch": epoch})
+            finished = False
             break
 
     logger.close()
-    return TrainResult(params, batch_stats, best_params, best_stats, best_loss, history)
+    if tracing:  # loop ended before the epoch after the traced one
+        jax.profiler.stop_trace()
+    return TrainResult(params, batch_stats, best_params, best_stats, best_loss, history,
+                       finished=finished)

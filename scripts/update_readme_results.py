@@ -10,6 +10,9 @@ import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_all import W  # noqa: E402  (shared workdir, env-overridable)
 
 REF = {
     ("fpe1d", "nio"): 0.281287, ("fpe1d", "fno"): 0.342750, ("fpe1d", "unet"): 0.240148,
@@ -64,9 +67,10 @@ def main():
             status = ", ".join(s for s in (status, "round-1 run (not re-evaluated this round)") if s)
         elif tag == "partial":
             status = ", ".join(s for s in (status, "preempted (resumable)") if s)
-        elif not os.path.isdir(f"/root/repo/runs/ckpt/{suite}_{model}"):
-            # evidence-basis honesty: the VM was wiped mid-round-3; rows whose
-            # checkpoint no longer exists rest on committed logs/RESULTS rows only
+        # evidence-basis honesty, independent of the round/partial tag (a round-1 or
+        # preempted row can ALSO have lost its checkpoint): rows whose checkpoint no
+        # longer exists rest on committed logs/RESULTS rows only (mid-round-3 wipe)
+        if not os.path.isdir(os.path.join(W, "ckpt", f"{suite}_{model}")):
             status = ", ".join(s for s in (status, "ckpt lost in host wipe (row from committed logs)") if s)
         rows.append(f"| {suite} | {NAMES.get(model, model)} | {loss:.4f} | {tta_s} | "
                     f"{ref if ref else '-'} | {te_s} | {status} |")
@@ -88,8 +92,11 @@ def main():
         "v5e chip against an A100 baseline derived from counted torch FLOPs",
         "(`runs/logs/torch_baseline.json`) times a cited sustained-throughput band,",
         "reported as a mid value plus a conservative range, with achieved TFLOP/s and",
-        "MFU (see BENCH_r*.json); `runs/logs/bench_variants.json` records the",
-        "jnp-vs-Pallas kernel comparison behind the default spectral impl.",
+        "MFU (see BENCH_r*.json). The driver's >=5x north-star is NOT yet met on this",
+        "honest anchor (r03: 1.88x mid-band) and is out of reach for f32 compute on",
+        "one chip — see BASELINE.md's roofline reconciliation.",
+        "`runs/logs/bench_variants.json` records the jnp-vs-Pallas kernel comparison",
+        "behind the default spectral impl.",
         "",
     ])
     readme = open("/root/repo/README.md").read()

@@ -1,4 +1,10 @@
-"""Tests for potential/pdf constructors and interpolation."""
+"""Tests for potential/pdf constructors and interpolation.
+
+The fplanck conventions these tests pin (1/e half-width Gaussians, attractive wells
+for A > 0, final-time ``propagate_interval`` semantics) are derived and risk-bounded
+in docs/fplanck_conventions.md — fplanck is not installable here, so these tests plus
+that note are the behavioral contract with the reference's external solver.
+"""
 import jax.numpy as jnp
 import numpy as np
 

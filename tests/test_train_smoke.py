@@ -84,6 +84,65 @@ def test_compress_inputs_trains_equivalently(tmp_path):
     assert abs(res_bf16.best_test_loss - res_f32.best_test_loss) < 0.1 * res_f32.best_test_loss
 
 
+def test_early_stop_patience(tmp_path, monkeypatch):
+    """A constant test metric never improves past the first eval, so patience must
+    end the run — and an early-stopped run counts as finished (round-4 queue
+    contract)."""
+    import blindno.train.loop as L
+
+    # constant metric -> best lands at epoch 1 and never moves (deterministic;
+    # the real metric would wiggle with BatchNorm running-stat drift)
+    monkeypatch.setattr(L, "relative_l2_per_field",
+                        lambda out, yb, ref: jnp.ones((yb.shape[0], 1)))
+    d = G.generate_fpe1d(seed=9, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    cfg = TrainConfig(epochs=50, batch_size=8, save_interval=1,
+                      early_stop_patience=3)
+    res = train_model(model, ds, grid, cfg)
+    assert res.finished
+    # best at epoch 1, stop once epoch - best_epoch >= 3
+    assert res.history[-1]["epoch"] == 4
+
+
+def test_finished_flag_semantics(tmp_path):
+    d = G.generate_fpe1d(seed=11, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    # natural completion -> finished
+    res = train_model(model, ds, grid, TrainConfig(epochs=2, batch_size=8, save_interval=1))
+    assert res.finished
+    # stop-file preemption -> not finished
+    stop = tmp_path / "STOP"
+    stop.write_text("")
+    res = train_model(model, ds, grid,
+                      TrainConfig(epochs=4, batch_size=8, save_interval=1,
+                                  stop_file=str(stop)))
+    assert not res.finished
+    # divergence -> not finished
+    res = train_model(model, ds, grid,
+                      TrainConfig(epochs=50, batch_size=8, save_interval=1, lr=1e12))
+    assert not res.finished
+
+
+def test_save_best_replay_is_crash_safe(tmp_path):
+    """Re-saving the SAME loss+epoch (resume replay) must never pass through a
+    best-less state: the old dir is moved aside and deleted only after the new
+    save lands (round-3 advisor finding)."""
+    d = str(tmp_path / "ckpt")
+    save_best(d, {"w": jnp.ones((3,))}, {}, epoch=7, test_loss=0.25)
+    save_best(d, {"w": 3 * jnp.ones((3,))}, {}, epoch=7, test_loss=0.25)
+    restored = load_best(d)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 3.0)
+    import glob as _glob
+    import os as _os
+    # exactly one best dir remains, and no .old residue
+    leftovers = _glob.glob(_os.path.join(d, "best_*"))
+    assert len(leftovers) == 1 and not leftovers[0].endswith(".old")
+
+
 def test_save_best_same_rounded_loss_no_collision(tmp_path):
     """Two improvements that round to the same 6-decimal loss must both save.
 
