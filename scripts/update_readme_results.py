@@ -93,8 +93,9 @@ def main():
         "(`runs/logs/torch_baseline.json`) times a cited sustained-throughput band,",
         "reported as a mid value plus a conservative range, with achieved TFLOP/s and",
         "MFU (see BENCH_r*.json). The driver's >=5x north-star is NOT yet met on this",
-        "honest anchor (r03: 1.88x mid-band) and is out of reach for f32 compute on",
-        "one chip — see BASELINE.md's roofline reconciliation.",
+        "honest anchor (r03: 1.88x mid-band); the step runs at the HBM-bandwidth roof",
+        "(profile_r04_analysis.md), putting >=5x out of reach on one chip — see",
+        "BASELINE.md's roofline reconciliation.",
         "`runs/logs/bench_variants.json` records the jnp-vs-Pallas kernel comparison",
         "behind the default spectral impl.",
         "",
