@@ -127,6 +127,21 @@ def test_finished_flag_semantics(tmp_path):
     assert not res.finished
 
 
+def test_profile_dir_writes_trace(tmp_path):
+    """TrainConfig.profile_dir captures one steady-state epoch (SURVEY 5.1 hook)."""
+    import glob as _glob
+
+    d = G.generate_fpe1d(seed=13, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    prof = tmp_path / "prof"
+    cfg = TrainConfig(epochs=4, batch_size=8, save_interval=2, profile_dir=str(prof))
+    res = train_model(model, ds, grid, cfg)
+    assert res.finished
+    assert _glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
+
+
 def test_save_best_replay_is_crash_safe(tmp_path):
     """Re-saving the SAME loss+epoch (resume replay) must never pass through a
     best-less state: the old dir is moved aside and deleted only after the new
