@@ -224,7 +224,11 @@ def stage_variant(suite, model, tag, overrides=None):
 
 
 def stage_reevidence(suite, model):
-    """Identical-config rerun for a row whose checkpoint died in the host wipe."""
+    """Identical-config rerun for a row whose checkpoint died in the host wipe.
+
+    Reuses the wiped row's recorded seed (an adopted row may have come from a
+    seed-retry variant — e.g. schrodinger1d/unet's 0.038363 is a seed-1 run, and
+    a default-seed rerun would overwrite it with a worse row)."""
     from blindno.suites.registry import SUITES
 
     spec = SUITES[suite]
@@ -232,7 +236,12 @@ def stage_reevidence(suite, model):
     if os.path.isdir(os.path.join(W, "ckpt", f"{suite}_{model}")):
         log(f"skip re-evidence {suite}/{model} (checkpoint exists)")
         return
+    overrides = None
     if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            old_cfg = json.load(fh).get("cfg", {})
+        if "seed" in old_cfg:
+            overrides = {"seed": old_cfg["seed"]}
         os.replace(summary_path,
                    os.path.join(W, "logs", f"{suite}_{model}_summary_prewipe.json"))
     rows = _load_rows()
@@ -244,7 +253,7 @@ def stage_reevidence(suite, model):
             for r in rows.values():
                 fh.write(json.dumps(r) + "\n")
     ensure_data(spec)
-    res, cfg, wall = _train(spec, model, f"{suite}_{model}")
+    res, cfg, wall = _train(spec, model, f"{suite}_{model}", overrides)
     if res.finished:
         with open(summary_path, "w") as fh:
             json.dump(_summary(res, cfg, suite, model, wall), fh, indent=1)
@@ -283,6 +292,9 @@ def stage_data(suite):
 
 
 # (fn, args, est_cost_s, name). est includes datagen/load where the stage pays it.
+# Tail (post second wipe, which took every checkpoint on the host): re-evidence
+# retrains for all remaining rows, grouped by suite so the in-process dataset
+# cache is reused. First-of-suite ests include the 1-D dataset regen.
 PLAN = [
     (stage_profile, (), 900, "profile"),
     (stage_data, ("fpe2d",), 3900, "fpe2d data"),
@@ -294,14 +306,24 @@ PLAN = [
     (stage_variant, ("fpe2d", "nio", "aug"), 10500, "fpe2d/nio aug"),
     (stage_variant, ("ncfpe2d", "nio", "aug"), 10000, "ncfpe2d/nio aug"),
     (stage_retry, ("schrodinger1d", "unet", 2), 2200, "schrodinger1d/unet s2"),
+    (stage_reevidence, ("fpe1d", "fno"), 1600, "fpe1d/fno re-evidence"),
+    (stage_reevidence, ("fpe1d", "unet"), 2300, "fpe1d/unet re-evidence"),
+    (stage_reevidence, ("gpe1d", "nio"), 2200, "gpe1d/nio re-evidence"),
+    (stage_reevidence, ("gpe1d", "fno"), 900, "gpe1d/fno re-evidence"),
+    (stage_reevidence, ("gpe1d", "unet"), 1200, "gpe1d/unet re-evidence"),
+    (stage_reevidence, ("schrodinger1d", "nio"), 2400, "schrodinger1d/nio re-evidence"),
+    (stage_reevidence, ("schrodinger1d", "fno"), 800, "schrodinger1d/fno re-evidence"),
+    (stage_reevidence, ("schrodinger1d", "unet"), 2100, "schrodinger1d/unet re-evidence"),
+    (stage_reevidence, ("gpe1d_vgk", "nio"), 2600, "gpe1d_vgk/nio re-evidence"),
 ]
 
 
-def main():
-    log(f"round4 queue start; deadline in {remaining()/3600:.2f}h")
+def run_pass():
+    """One priority-ordered pass over PLAN. Returns seconds spent doing work."""
+    t_pass = time.time()
     for fn, args, est, name in PLAN:
         if stop_requested():
-            log("STOP requested; exiting")
+            log("STOP requested; exiting pass")
             break
         if remaining() < est:
             log(f"skip {name}: {remaining():.0f}s left < est {est}s")
@@ -315,6 +337,8 @@ def main():
             log(f"STAGE FAILED: {name}")
             traceback.print_exc()
             continue
+        if time.time() - t0 < 60:
+            continue  # stage skipped internally; no eval/commit churn
         try:
             if len(suite_model) == 2 and fn is not stage_data:
                 suite, model = suite_model
@@ -329,6 +353,19 @@ def main():
         except Exception:
             log(f"EVAL/COMMIT FAILED: {name}")
             traceback.print_exc()
+    return time.time() - t_pass
+
+
+def main():
+    log(f"round4 queue start; deadline in {remaining()/3600:.2f}h")
+    # Multi-pass: early stops can buy back hours, so a stage skipped on pass N
+    # (est > remaining at its turn) may fit on pass N+1. Stages are idempotent
+    # (summary / done-marker / ckpt-dir guards), and a pass that does <120s of
+    # work means nothing is left that fits.
+    while not stop_requested():
+        spent = run_pass()
+        if spent < 120:
+            break
     compose_results()
     commit_evidence("round4: queue final compose")
     log("round4 queue complete")
