@@ -1,0 +1,16 @@
+#!/bin/bash
+# Periodic evidence snapshot: the host can be wiped at any time (it has been,
+# twice), and git is the only durable store. Every 20 min, force-add any best
+# checkpoints plus training logs and commit. Racing the queue driver's own
+# commits is harmless: whoever loses the index lock just skips a beat.
+cd /root/repo || exit 1
+while true; do
+  sleep 1200
+  git add -f runs/ckpt/*/best_* 2>/dev/null
+  git add runs/logs runs/RESULTS.json runs/RESULTS.md runs/RESULTS_rows.jsonl 2>/dev/null
+  if ! git diff --cached --quiet 2>/dev/null; then
+    git commit -q -m "wipe insurance: periodic checkpoint/log snapshot
+
+No-Verification-Needed: evidence snapshot, no source change" || true
+  fi
+done
