@@ -275,6 +275,67 @@ def stage_retry(suite, model, seed):
     stage_variant(suite, model, f"s{seed}", {"seed": seed})
 
 
+def stage_leakdemo():
+    """Falsification experiment for docs/fpe2d_gap_analysis.md §4: reproduce the
+    hypothesized reference pipeline (train archive with duplicated simulations +
+    random 80/20 split) and record what 'test' rel-L2 it yields.
+
+    Build: first 2000 samples of the seed-0 fpe2d train archive, tiled x4 into an
+    m=8000 archive (e.g. four concatenated same-seed generation runs). The loader
+    standardizes and the train loop 80/20-splits as usual, so ~99%% of test
+    samples have an exact twin in train (1 - 0.2^3). Train the UNet with the
+    registry config minus augmentation (the reference trains unaugmented).
+    Prediction (gap analysis 3a): split-test collapses from the honest 0.2057
+    to ~0.04-0.06, i.e. to the reference's published 0.038817.
+    NOT a RESULTS row — summary goes to fpe2d_unet_leakdemo_summary.json only.
+    """
+    from blindno.suites.registry import SUITES
+
+    spec = SUITES["fpe2d"]
+    summary_path = os.path.join(W, "logs", "fpe2d_unet_leakdemo_summary.json")
+    if os.path.exists(summary_path):
+        log("skip leakdemo (summary exists)")
+        return
+    ensure_data(spec)
+    demo = "fpe2d_leak"
+    if demo not in _DATA:
+        t0 = time.time()
+        src = os.path.join(W, "data", spec.train_file)
+        with np.load(src, allow_pickle=True) as z:
+            raw = {k: z[k][:2000] for k in z.files}
+        raw = {k: np.concatenate([v, v, v, v], axis=0) for k, v in raw.items()}
+        _DATA[demo] = spec.loader(raw)
+        del raw
+        log(f"built leaked archive (2000 unique x4) in {time.time() - t0:.0f}s")
+    from blindno.train.loop import train_model
+
+    cfg = dataclasses.replace(
+        spec.train_cfg,
+        augment=None,
+        ckpt_dir=os.path.join(W, "ckpt", "fpe2d_unet_leakdemo"),
+        log_path=os.path.join(W, "logs", "fpe2d_unet_leakdemo.jsonl"),
+        stop_file=os.path.join(W, "STOP"),
+        early_stop_patience=PATIENCE,
+    )
+    model = spec.models["unet"]()
+    log(f"train fpe2d_unet_leakdemo for {cfg.epochs} epochs (bs {cfg.batch_size}, "
+        f"lr {cfg.lr}, augment OFF, duplicated archive)")
+    t0 = time.time()
+    res = train_model(model, _DATA[demo], spec.grid, cfg)
+    wall = time.time() - t0
+    log(f"  leakdemo best split-test {res.best_test_loss:.6f} in {wall:.0f}s "
+        + ("(finished)" if res.finished else "(preempted)"))
+    # summary written even when preempted: the curve is the evidence
+    d = _summary(res, cfg, "fpe2d", "unet_leakdemo", wall,
+                 {"experiment": "duplicate-and-split leakage demo",
+                  "finished": res.finished,
+                  "unique_samples": 2000, "tile": 4,
+                  "honest_row_same_config": 0.2057,
+                  "reference_published_test": 0.038817})
+    with open(summary_path, "w") as fh:
+        json.dump(d, fh, indent=1)
+
+
 def stage_profile():
     out = "/root/repo/runs/logs/profile_r04.json"
     if os.path.exists(out):
@@ -301,6 +362,7 @@ PLAN = [
     (stage_variant, ("fpe2d", "unet", "aug"), 10000, "fpe2d/unet aug"),
     (stage_train, ("ncfpe2d", "unet"), 7000, "ncfpe2d/unet"),
     (stage_reevidence, ("fpe1d", "nio"), 2400, "fpe1d/nio re-evidence"),
+    (stage_leakdemo, (), 9500, "fpe2d leakage demo"),
     (stage_variant, ("fpe2d", "fno", "aug"), 9500, "fpe2d/fno aug"),
     (stage_train, ("ncfpe2d", "fno"), 8600, "ncfpe2d/fno resume"),
     (stage_variant, ("fpe2d", "nio", "aug"), 10500, "fpe2d/nio aug"),

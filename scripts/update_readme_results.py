@@ -33,6 +33,8 @@ def _collect():
                          ("", "/root/repo/runs/logs/*_summary.json")):
         for f in sorted(glob.glob(pattern)):
             d = json.load(open(f))
+            if "leakdemo" in d["model"]:
+                continue  # falsification experiment, not a results row (docs/fpe2d_gap_analysis.md)
             out[(d["suite"], d["model"])] = (d["best_test_loss"], tag)
     return out
 
