@@ -362,7 +362,10 @@ PLAN = [
     (stage_variant, ("fpe2d", "unet", "aug"), 10000, "fpe2d/unet aug"),
     (stage_train, ("ncfpe2d", "unet"), 7000, "ncfpe2d/unet"),
     (stage_reevidence, ("fpe1d", "nio"), 2400, "fpe1d/nio re-evidence"),
-    (stage_leakdemo, (), 9500, "fpe2d leakage demo"),
+    # est is deliberately below the full-run cost: the stage records its summary
+    # and best ckpt even when STOP/deadline-preempted, and the collapse signature
+    # shows by epoch ~100, so a partial window still yields the evidence.
+    (stage_leakdemo, (), 4500, "fpe2d leakage demo"),
     (stage_variant, ("fpe2d", "fno", "aug"), 9500, "fpe2d/fno aug"),
     (stage_train, ("ncfpe2d", "fno"), 8600, "ncfpe2d/fno resume"),
     (stage_variant, ("fpe2d", "nio", "aug"), 10500, "fpe2d/nio aug"),
