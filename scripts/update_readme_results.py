@@ -86,6 +86,13 @@ def main():
         "time-err = solution-space time-averaged density rollout error (the",
         "reference never recorded its own values).",
         "",
+        "On the remaining 2-D gaps: `docs/fpe2d_gap_analysis.md` documents the",
+        "parity-verification record and the quantitative evidence that the",
+        "reference's 2-D headline numbers reflect train/test contamination in its",
+        "uncommitted 2-D archives (our unaugmented train-fit error equals its",
+        "published test error model-by-model; the suites with committed train",
+        "datagens are exactly the ones we beat).",
+        "",
         "| Suite | Model | ours | ours (TTA) | reference | time-err | |",
         "|---|---|---|---|---|---|---|",
         *rows,
