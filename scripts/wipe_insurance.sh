@@ -6,6 +6,10 @@
 cd /root/repo || exit 1
 while true; do
   sleep 1200
+  # -u first: records deletions of superseded best_* dirs (the train loop rmtree's
+  # the previous best) so HEAD doesn't accumulate stale checkpoints; resume.msgpack
+  # stays untracked because -u only touches already-tracked paths.
+  git add -u runs/ckpt 2>/dev/null
   git add -f runs/ckpt/*/best_* 2>/dev/null
   git add runs/logs runs/RESULTS.json runs/RESULTS.md runs/RESULTS_rows.jsonl 2>/dev/null
   if ! git diff --cached --quiet 2>/dev/null; then
