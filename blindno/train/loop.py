@@ -93,6 +93,15 @@ class TrainConfig:
     # sampling noise — augmented labels therefore carry that much orientation noise.
     # The GPE suites use a global scalar /max, which commutes exactly.
     augment: str | None = None
+    # Mixed-precision compute: "bfloat16" casts params, batch-norm state, and the
+    # batch to bf16 INSIDE the loss closure, so every encoder activation, conv, and
+    # weight-gradient reduction streams half the bytes (the round-4 profile shows the
+    # 2-D step is HBM-bandwidth-bound on exactly those f32 activation stacks —
+    # runs/logs/profile_r04_analysis.md). Master params, Adam state, the loss, the
+    # gradients (accumulated through the cast), batch-stats storage, and eval all stay
+    # f32, i.e. torch-AMP-style mixed precision rather than a half-precision model.
+    # None (default) = pure f32 storage+compute, the accuracy-validated parity path.
+    compute_dtype: str | None = None
     # Early stop: end the run when the best test loss has not improved for this many
     # epochs (checked at eval intervals; None = reference-exact fixed-epoch behavior).
     # A run stopped this way counts as finished (TrainResult.finished) — the best
@@ -257,6 +266,33 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
     def apply(variables, x, training, rngs=None, mutable=False):
         return model.apply(variables, x, grid, training=training, rngs=rngs, mutable=mutable)
 
+    # Mixed precision (cfg.compute_dtype): the cast lives INSIDE the loss closure, so
+    # autodiff of the cast accumulates the gradients back to f32 master params; the
+    # returned batch stats are re-cast to f32 so the stored training state never
+    # changes dtype (checkpoints/resume stay f32 regardless of compute_dtype).
+    cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else jnp.float32
+    if cfg.compute_dtype:
+        def cast_tree(t):
+            return jax.tree.map(
+                lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, t)
+
+        def uncast_tree(t):
+            return jax.tree.map(
+                lambda a: a.astype(jnp.float32) if a.dtype == cdtype else a, t)
+    else:
+        cast_tree = uncast_tree = lambda t: t
+
+    def train_loss_and_grads(params, batch_stats, xb, yb, rng):
+        def loss_fn(p):
+            out, updates = apply(
+                {"params": cast_tree(p), "batch_stats": cast_tree(batch_stats)},
+                xb.astype(cdtype), True, rngs={"sample": rng}, mutable=["batch_stats"],
+            )
+            return (jnp.mean((out.astype(jnp.float32) - yb) ** 2),
+                    uncast_tree(updates["batch_stats"]))
+
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
     def augmented(xb, yb, rng):
         """One random symmetry-group element per step (identity included)."""
         if aug_fns is None:
@@ -277,15 +313,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
                 jnp.take(x_all, idx, axis=0).astype(jnp.float32), dp)
             yb = jax.lax.with_sharding_constraint(jnp.take(y_all, idx, axis=0), dp)
             xb, yb, rng = augmented(xb, yb, rng)
-
-            def loss_fn(p):
-                out, updates = apply(
-                    {"params": p, "batch_stats": batch_stats}, xb, True,
-                    rngs={"sample": rng}, mutable=["batch_stats"],
-                )
-                return jnp.mean((out - yb) ** 2), updates["batch_stats"]
-
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, new_stats), grads = train_loss_and_grads(params, batch_stats, xb, yb, rng)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_stats, opt_state), loss
@@ -303,15 +331,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
             jnp.take(x_all, idx, axis=0).astype(jnp.float32), dp)
         yb = jax.lax.with_sharding_constraint(jnp.take(y_all, idx, axis=0), dp)
         xb, yb, rng = augmented(xb, yb, rng)
-
-        def loss_fn(p):
-            out, updates = apply(
-                {"params": p, "batch_stats": batch_stats}, xb, True,
-                rngs={"sample": rng}, mutable=["batch_stats"],
-            )
-            return jnp.mean((out - yb) ** 2), updates["batch_stats"]
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, new_stats), grads = train_loss_and_grads(params, batch_stats, xb, yb, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
