@@ -9,7 +9,9 @@ BASELINE.md re-scope argument. Accuracy is NOT validated for this mode.
 
 Method: identical step to bench.py, but the loss closure casts params to bf16 and
 the batch is stored/fed in bf16, so every activation, conv, and weight-gradient
-reduction runs in bf16 (f32 MXU accumulation, f32 Adam master params).
+reduction runs in bf16 (f32 MXU accumulation, f32 Adam master params). The same
+cast-in-the-loss-closure scheme is available for real trainings as
+``TrainConfig.compute_dtype="bfloat16"`` (blindno/train/loop.py).
 
 Writes runs/logs/bench_bf16_r04.json and prints one JSON line.
 """

@@ -336,6 +336,38 @@ def stage_leakdemo():
         json.dump(d, fh, indent=1)
 
 
+def stage_bf16val():
+    """Accuracy validation for TrainConfig.compute_dtype='bfloat16' (the HBM-bandwidth
+    lever named by profile_r04_analysis.md): train fpe1d/nio at the identical registry
+    config, bf16 compute, and record the best test loss next to the f32 row's. NOT a
+    RESULTS row — this is the evidence gate for whether the bf16 mode may become the
+    benchmarked default (BASELINE.md reconciliation)."""
+    from blindno.suites.registry import SUITES
+
+    suite, model = "fpe1d", "nio"
+    spec = SUITES[suite]
+    summary_path = os.path.join(W, "logs", f"{suite}_{model}_bf16val_summary.json")
+    if os.path.exists(summary_path):
+        log("skip bf16val (summary exists)")
+        return
+    ensure_data(spec)
+    res, cfg, wall = _train(spec, model, f"{suite}_{model}_bf16val",
+                            {"compute_dtype": "bfloat16"})
+    if not res.finished:
+        return
+    f32_best = None
+    f32_summary = os.path.join(W, "logs", f"{suite}_{model}_summary.json")
+    if os.path.exists(f32_summary):
+        with open(f32_summary) as fh:
+            f32_best = json.load(fh)["best_test_loss"]
+    d = _summary(res, cfg, suite, f"{model}_bf16val", wall,
+                 {"experiment": "compute_dtype=bfloat16 accuracy validation",
+                  "compute_dtype": "bfloat16", "f32_row_best": f32_best})
+    with open(summary_path, "w") as fh:
+        json.dump(d, fh, indent=1)
+    log(f"  bf16val best {res.best_test_loss:.6f} vs f32 row {f32_best}")
+
+
 def stage_profile():
     out = "/root/repo/runs/logs/profile_r04.json"
     if os.path.exists(out):
@@ -373,6 +405,9 @@ PLAN = [
     (stage_retry, ("schrodinger1d", "unet", 2), 2200, "schrodinger1d/unet s2"),
     (stage_reevidence, ("fpe1d", "fno"), 1600, "fpe1d/fno re-evidence"),
     (stage_reevidence, ("fpe1d", "unet"), 2300, "fpe1d/unet re-evidence"),
+    # no (suite, model) string args on purpose: its summary must not trigger the
+    # post-stage eval_one/compose of the f32 fpe1d/nio row
+    (stage_bf16val, (), 2400, "fpe1d/nio bf16 validation"),
     (stage_reevidence, ("gpe1d", "nio"), 2200, "gpe1d/nio re-evidence"),
     (stage_reevidence, ("gpe1d", "fno"), 900, "gpe1d/fno re-evidence"),
     (stage_reevidence, ("gpe1d", "unet"), 1200, "gpe1d/unet re-evidence"),
