@@ -81,7 +81,13 @@ def main():
 
     model = NIOFP2D(width=12, modes=32, n_basis=25, neurons=100, fno_layers=3)
     rng = np.random.default_rng(0)
-    b, l, n = 4, 100, 61
+    # BLINDNO_BENCH_{B,L} shrink batch/snapshot count for the offline CPU smoke
+    # test (tests/test_bench_smoke.py: the driver runs this file unattended at
+    # round end, so its whole flow is regression-tested). The headline TPU run
+    # uses the reference-matched defaults; the grid stays 61x61 (modes=32 needs it).
+    b = int(os.environ.get("BLINDNO_BENCH_B", "4"))
+    l = int(os.environ.get("BLINDNO_BENCH_L", "100"))
+    n = 61
     x = jnp.asarray(rng.standard_normal((b, l, n, n)).astype(np.float32))
     y = jnp.asarray(rng.standard_normal((b, n, n, 2)).astype(np.float32))
     gx, gy = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n), indexing="ij")
@@ -123,8 +129,15 @@ def main():
         params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, x, y, k)
     jax.block_until_ready(loss)
 
-    # measured FLOPs per step from XLA's cost model (auditable perf basis)
+    # measured FLOPs per step from XLA's cost model (auditable perf basis).
+    # BLINDNO_BENCH_SMOKE skips this explicit lower().compile() — it is a SECOND
+    # full compile of the step (the jit cache does not serve AOT lowerings), and
+    # on the 1-core CPU host each compile of this graph takes ~20-30 min; the
+    # JSON contract tolerates flops=NaN.
+    smoke = bool(os.environ.get("BLINDNO_BENCH_SMOKE"))
     try:
+        if smoke:
+            raise RuntimeError("smoke mode: skip cost-analysis recompile")
         compiled = train_step.lower(params, batch_stats, opt_state, x, y, key).compile()
         flops = float(compiled.cost_analysis()["flops"])
     except Exception:
@@ -165,6 +178,8 @@ def main():
         return carry, losses[-1]
 
     try:
+        if smoke:
+            raise RuntimeError("smoke mode: skip the scanned-figure compile")
         scan_keys = jnp.stack(step_keys)
         carry, last = train_scan(params, batch_stats, opt_state, x, y, scan_keys)  # compile+warm
         jax.block_until_ready(last)

@@ -389,6 +389,21 @@ def stage_data(suite):
 # retrains for all remaining rows, grouped by suite so the in-process dataset
 # cache is reused. First-of-suite ests include the 1-D dataset regen.
 PLAN = [
+    # Session-5 reorder (all stages idempotent; done ones self-skip): the only
+    # fully-missing RESULTS row first, then the cheap evidence-durability
+    # retrains, then the long 2-D aug variants (which double as re-evidence for
+    # rows whose incumbent checkpoints died in the wipe), then the perf lever.
+    (stage_train, ("ncfpe2d", "fno"), 8600, "ncfpe2d/fno"),
+    (stage_reevidence, ("gpe1d", "unet"), 1200, "gpe1d/unet re-evidence"),
+    (stage_reevidence, ("schrodinger1d", "nio"), 2400, "schrodinger1d/nio re-evidence"),
+    (stage_reevidence, ("schrodinger1d", "unet"), 2100, "schrodinger1d/unet re-evidence"),
+    (stage_reevidence, ("gpe1d_vgk", "nio"), 2600, "gpe1d_vgk/nio re-evidence"),
+    (stage_variant, ("ncfpe2d", "nio", "aug"), 10000, "ncfpe2d/nio aug"),
+    (stage_variant, ("fpe2d", "fno", "aug"), 9500, "fpe2d/fno aug"),
+    (stage_variant, ("fpe2d", "nio", "aug"), 10500, "fpe2d/nio aug"),
+    # no (suite, model) string args on purpose: its summary must not trigger the
+    # post-stage eval_one/compose of the f32 fpe1d/nio row
+    (stage_bf16val, (), 2400, "fpe1d/nio bf16 validation"),
     (stage_profile, (), 900, "profile"),
     (stage_data, ("fpe2d",), 3900, "fpe2d data"),
     (stage_variant, ("fpe2d", "unet", "aug"), 10000, "fpe2d/unet aug"),
@@ -398,23 +413,12 @@ PLAN = [
     # and best ckpt even when STOP/deadline-preempted, and the collapse signature
     # shows by epoch ~100, so a partial window still yields the evidence.
     (stage_leakdemo, (), 4500, "fpe2d leakage demo"),
-    (stage_variant, ("fpe2d", "fno", "aug"), 9500, "fpe2d/fno aug"),
-    (stage_train, ("ncfpe2d", "fno"), 8600, "ncfpe2d/fno resume"),
-    (stage_variant, ("fpe2d", "nio", "aug"), 10500, "fpe2d/nio aug"),
-    (stage_variant, ("ncfpe2d", "nio", "aug"), 10000, "ncfpe2d/nio aug"),
     (stage_retry, ("schrodinger1d", "unet", 2), 2200, "schrodinger1d/unet s2"),
     (stage_reevidence, ("fpe1d", "fno"), 1600, "fpe1d/fno re-evidence"),
     (stage_reevidence, ("fpe1d", "unet"), 2300, "fpe1d/unet re-evidence"),
-    # no (suite, model) string args on purpose: its summary must not trigger the
-    # post-stage eval_one/compose of the f32 fpe1d/nio row
-    (stage_bf16val, (), 2400, "fpe1d/nio bf16 validation"),
     (stage_reevidence, ("gpe1d", "nio"), 2200, "gpe1d/nio re-evidence"),
     (stage_reevidence, ("gpe1d", "fno"), 900, "gpe1d/fno re-evidence"),
-    (stage_reevidence, ("gpe1d", "unet"), 1200, "gpe1d/unet re-evidence"),
-    (stage_reevidence, ("schrodinger1d", "nio"), 2400, "schrodinger1d/nio re-evidence"),
     (stage_reevidence, ("schrodinger1d", "fno"), 800, "schrodinger1d/fno re-evidence"),
-    (stage_reevidence, ("schrodinger1d", "unet"), 2100, "schrodinger1d/unet re-evidence"),
-    (stage_reevidence, ("gpe1d_vgk", "nio"), 2600, "gpe1d_vgk/nio re-evidence"),
 ]
 
 

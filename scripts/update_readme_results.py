@@ -91,7 +91,11 @@ def main():
         "reference's 2-D headline numbers reflect train/test contamination in its",
         "uncommitted 2-D archives (our unaugmented train-fit error equals its",
         "published test error model-by-model; the suites with committed train",
-        "datagens are exactly the ones we beat).",
+        "datagens are exactly the ones we beat). The round-4 duplicate-and-split",
+        "falsification run reproduces the published number from contamination",
+        "alone: tiling 2000 unique samples x4 and random-splitting yields",
+        "split-test 0.0305 < the published 0.038817, vs 0.2057 honest",
+        "(`runs/logs/fpe2d_unet_leakdemo_summary.json`).",
         "",
         "| Suite | Model | ours | ours (TTA) | reference | time-err | |",
         "|---|---|---|---|---|---|---|",

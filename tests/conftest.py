@@ -44,6 +44,7 @@ _SLOW = {
     "test_eval_and_time_error_roundtrip",
     "test_fno_modules_under_fused_impl",
     "test_registry_model_forward[fpe2d-unet]",
+    "test_bench_json_contract",
 }
 
 
