@@ -398,12 +398,15 @@ PLAN = [
     (stage_reevidence, ("schrodinger1d", "nio"), 2400, "schrodinger1d/nio re-evidence"),
     (stage_reevidence, ("schrodinger1d", "unet"), 2100, "schrodinger1d/unet re-evidence"),
     (stage_reevidence, ("gpe1d_vgk", "nio"), 2600, "gpe1d_vgk/nio re-evidence"),
-    (stage_variant, ("ncfpe2d", "nio", "aug"), 10000, "ncfpe2d/nio aug"),
-    (stage_variant, ("fpe2d", "fno", "aug"), 9500, "fpe2d/fno aug"),
-    (stage_variant, ("fpe2d", "nio", "aug"), 10500, "fpe2d/nio aug"),
+    # Session-7 reorder (post third wipe): bf16val before the long 2-D variants —
+    # it gates whether the bench headline may adopt compute_dtype=bfloat16
+    # (BASELINE.md contract), so it must land with an idle-TPU window to spare.
     # no (suite, model) string args on purpose: its summary must not trigger the
     # post-stage eval_one/compose of the f32 fpe1d/nio row
     (stage_bf16val, (), 2400, "fpe1d/nio bf16 validation"),
+    (stage_variant, ("ncfpe2d", "nio", "aug"), 10000, "ncfpe2d/nio aug"),
+    (stage_variant, ("fpe2d", "fno", "aug"), 13000, "fpe2d/fno aug"),
+    (stage_variant, ("fpe2d", "nio", "aug"), 10500, "fpe2d/nio aug"),
     (stage_profile, (), 900, "profile"),
     (stage_data, ("fpe2d",), 3900, "fpe2d data"),
     (stage_variant, ("fpe2d", "unet", "aug"), 10000, "fpe2d/unet aug"),
