@@ -7,6 +7,20 @@ Config matches the reference's benchmarked setup (``2d_FPE/train_nio.py``): NIOF
 grid, Adam. The measured quantity is full training steps/sec (forward + backward +
 optimizer update) on one chip.
 
+Compute dtype of the headline step (BASELINE.md contract): the framework ships an
+accuracy-validated mixed-precision training mode (``TrainConfig.compute_dtype=
+"bfloat16"``, f32 master params/Adam/batch-stats — blindno/train/loop.py). The
+headline step uses that mode ONLY once a full registry-config suite row trained with
+it matches the f32 row's accuracy (the round-4 queue's ``fpe1d/nio bf16 validation``
+stage writes ``runs/logs/fpe1d_nio_bf16val_summary.json``; the gate is best test
+rel-L2 within 5%% of the f32 row — the measured seed-noise band for identical-config
+reruns). Until that file exists and passes, the headline stays f32. When the headline
+is bf16, the f32 figure is reported alongside as ``steps_per_sec_f32``. This is a
+system-level comparison: the reference trains in torch-default precision (TF32 convs
+on A100) and ships no mixed-precision option, so its anchor keeps its own precision
+while this framework benchmarks its best accuracy-validated configuration.
+``BLINDNO_BENCH_F32=1`` forces the f32 headline regardless.
+
 Baseline: the reference publishes no throughput numbers (BASELINE.md) and was run on
 unspecified CUDA GPUs, so the A100 anchor is DERIVED, not measured — from two
 committed measurements plus one cited assumption, so a skeptic can recompute it:
@@ -44,12 +58,14 @@ A100_EFF_TFLOPS = (15.0, 45.0)  # cited sustained band for this small-batch conv
 CPU_TO_A100 = 165.0  # legacy round-1/2 scaling, reported for comparability only
 FALLBACK_A100_EST = 12.0
 V5E_BF16_PEAK_TFLOPS = 197.0
+BF16_ACCURACY_TOL = 1.05  # within the measured identical-config seed-noise band
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def a100_baseline_steps_per_sec():
     """Returns (mid, low, high, basis): estimated A100 steps/s for the torch step."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "runs", "logs", "torch_baseline.json")
+    path = os.path.join(REPO, "runs", "logs", "torch_baseline.json")
     try:
         with open(path) as fh:
             d = json.load(fh)
@@ -67,6 +83,28 @@ def a100_baseline_steps_per_sec():
     return (FALLBACK_A100_EST,) * 3 + ("fixed estimate (torch_baseline.json absent)",)
 
 
+def bf16_validation():
+    """The BASELINE.md headline gate: a full registry-config suite row trained with
+    ``TrainConfig.compute_dtype='bfloat16'`` must match the f32 row's accuracy.
+    Reads the round-4 queue's validation summary; returns a dict describing the
+    gate (with ``passed``) or None if the validation has not been run."""
+    path = os.path.join(REPO, "runs", "logs", "fpe1d_nio_bf16val_summary.json")
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        bf16_best = float(d["best_test_loss"])
+        f32_best = float(d["f32_row_best"])
+    except (OSError, KeyError, TypeError, ValueError):
+        return None
+    return {
+        "suite_row": "fpe1d/nio (registry config, 400 epochs)",
+        "bf16_best_test_rel_l2": round(bf16_best, 6),
+        "f32_best_test_rel_l2": round(f32_best, 6),
+        "criterion": f"bf16 <= {BF16_ACCURACY_TOL:.2f} x f32 (identical-config seed-noise band)",
+        "passed": bool(bf16_best <= BF16_ACCURACY_TOL * f32_best),
+    }
+
+
 def main():
     import jax
 
@@ -74,8 +112,10 @@ def main():
         # offline harness testing on the 1-core host (sitecustomize pre-imports
         # JAX on the axon TPU platform, so JAX_PLATFORMS env alone is ignored)
         jax.config.update("jax_platforms", "cpu")
+    import jax.lax as lax
     import jax.numpy as jnp
     import optax
+    from functools import partial
 
     from blindno.models.nio2d import NIOFP2D
 
@@ -97,105 +137,142 @@ def main():
     # single-chip tunnel (minutes); one compiled program is seconds
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, grid)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    host_vars = jax.device_get(variables)  # pristine copy: each mode re-places it
     tx = optax.adam(5e-4)
-    opt_state = tx.init(params)
-
-    from functools import partial
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, xb, yb, key):
-        def loss_fn(p):
-            out, updates = model.apply(
-                {"params": p, "batch_stats": batch_stats}, xb, grid, training=True,
-                rngs={"sample": key}, mutable=["batch_stats"],
-            )
-            return jnp.mean((out - yb) ** 2), updates["batch_stats"]
-
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), stats, opt_state, loss
 
     n_steps = int(os.environ.get("BLINDNO_BENCH_STEPS", "30"))
+    smoke = bool(os.environ.get("BLINDNO_BENCH_SMOKE"))
     # Pre-split all step keys OUTSIDE the timed region: a per-iteration
     # jax.random.split is a tiny extra dispatch whose round-trip latency is pure
     # harness artifact (the r04 profile showed a ~1.7 ms/step host gap), not part
     # of the training step being measured.
-    key = jax.random.PRNGKey(2)
-    all_keys = list(jax.random.split(key, n_steps + 3))
+    all_keys = list(jax.random.split(jax.random.PRNGKey(2), n_steps + 3))
     warm_keys, step_keys = all_keys[:3], all_keys[3:]
-    for k in warm_keys:
-        params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, x, y, k)
-    jax.block_until_ready(loss)
 
-    # measured FLOPs per step from XLA's cost model (auditable perf basis).
-    # BLINDNO_BENCH_SMOKE skips this explicit lower().compile() — it is a SECOND
-    # full compile of the step (the jit cache does not serve AOT lowerings), and
-    # on the 1-core CPU host each compile of this graph takes ~20-30 min; the
-    # JSON contract tolerates flops=NaN.
-    smoke = bool(os.environ.get("BLINDNO_BENCH_SMOKE"))
-    try:
-        if smoke:
-            raise RuntimeError("smoke mode: skip cost-analysis recompile")
-        compiled = train_step.lower(params, batch_stats, opt_state, x, y, key).compile()
-        flops = float(compiled.cost_analysis()["flops"])
-    except Exception:
+    def make_step(cdtype):
+        """The (un-jitted) bench step body, mirroring blindno/train/loop.py
+        train_loss_and_grads exactly: the (optional) bf16 cast lives INSIDE the loss
+        closure, so autodiff accumulates gradients back to f32 master params; batch
+        stats are re-cast to f32 so the training state never changes dtype."""
+        if cdtype is None:
+            cast = uncast = lambda t: t
+            in_dtype = jnp.float32
+        else:
+            def cast(t):
+                return jax.tree.map(
+                    lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, t)
+
+            def uncast(t):
+                return jax.tree.map(
+                    lambda a: a.astype(jnp.float32) if a.dtype == cdtype else a, t)
+            in_dtype = cdtype
+
+        def train_step(params, batch_stats, opt_state, xb, yb, key):
+            def loss_fn(p):
+                out, updates = model.apply(
+                    {"params": cast(p), "batch_stats": cast(batch_stats)},
+                    xb.astype(in_dtype), grid, training=True,
+                    rngs={"sample": key}, mutable=["batch_stats"],
+                )
+                return (jnp.mean((out.astype(jnp.float32) - yb) ** 2),
+                        uncast(updates["batch_stats"]))
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), stats, opt_state, loss
+
+        return train_step
+
+    def fresh_state():
+        v = jax.device_put(host_vars)
+        params = v["params"]
+        return params, v.get("batch_stats", {}), tx.init(params)
+
+    def run_mode(cdtype, with_flops):
+        """Warm + time the per-step-dispatched loop for one compute dtype.
+        Returns (steps/s, flops_per_step, final_state, train_step)."""
+        train_step = jax.jit(make_step(cdtype), donate_argnums=(0, 1, 2))
+        params, batch_stats, opt_state = fresh_state()
+        for k in warm_keys:
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, x, y, k)
+        jax.block_until_ready(loss)
+
+        # measured FLOPs per step from XLA's cost model (auditable perf basis).
+        # BLINDNO_BENCH_SMOKE skips this explicit lower().compile() — it is a
+        # SECOND full compile of the step (the jit cache does not serve AOT
+        # lowerings), and on the 1-core CPU host each compile of this graph takes
+        # ~20-30 min; the JSON contract tolerates flops=NaN.
         flops = float("nan")
+        if with_flops and not smoke:
+            try:
+                compiled = train_step.lower(
+                    params, batch_stats, opt_state, x, y, warm_keys[0]).compile()
+                flops = float(compiled.cost_analysis()["flops"])
+            except Exception:
+                pass
 
-    t0 = time.perf_counter()
-    for k in step_keys:
-        params, batch_stats, opt_state, loss = train_step(params, batch_stats, opt_state, x, y, k)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for k in step_keys:
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, x, y, k)
+        jax.block_until_ready(loss)
+        sps = n_steps / (time.perf_counter() - t0)
+        return sps, flops, (params, batch_stats, opt_state), train_step
 
-    sps = n_steps / dt
+    val = bf16_validation()
+    use_bf16 = bool(val and val["passed"]) and not os.environ.get("BLINDNO_BENCH_F32")
+    headline_dtype = jnp.bfloat16 if use_bf16 else None
+
+    sps, flops, state, _ = run_mode(headline_dtype, with_flops=True)
 
     # Secondary figure: the same step body scanned on-device (lax.scan over the
     # step keys, one XLA program for the whole run) — pure device throughput with
-    # zero per-step host dispatch. This is what an epoch-fused TPU-native loop
-    # achieves; the headline stays the per-step-dispatched loop, which is
-    # apples-to-apples with the reference's per-step torch loop.
-    import jax.lax as lax
+    # zero per-step host dispatch. This is what the epoch-fused train loop
+    # (train_epoch in blindno/train/loop.py) achieves; the headline stays the
+    # per-step-dispatched loop, apples-to-apples with the reference's torch loop.
+    sps_scanned = None
+    if not smoke:
+        step_unjit = make_step(headline_dtype)  # un-jitted body for the scan
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_scan(params, batch_stats, opt_state, xb, yb, keys):
-        def body(carry, k):
-            p, bs, st = carry
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_scan(params, batch_stats, opt_state, xb, yb, keys):
+            def body(carry, k):
+                p, bs, st, _ = carry
+                p, bs, st, loss = step_unjit(p, bs, st, xb, yb, k)
+                return (p, bs, st, loss), None
 
-            def loss_fn(p_):
-                out, updates = model.apply(
-                    {"params": p_, "batch_stats": bs}, xb, grid, training=True,
-                    rngs={"sample": k}, mutable=["batch_stats"],
-                )
-                return jnp.mean((out - yb) ** 2), updates["batch_stats"]
+            (p, bs, st, loss), _ = lax.scan(
+                body, (*((params, batch_stats, opt_state)), jnp.float32(0.0)), keys)
+            return (p, bs, st), loss
 
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-            updates, st = tx.update(grads, st, p)
-            return (optax.apply_updates(p, updates), stats, st), loss
+        try:
+            scan_keys = jnp.stack(step_keys)
+            params, batch_stats, opt_state = state
+            carry, last = train_scan(params, batch_stats, opt_state, x, y, scan_keys)
+            jax.block_until_ready(last)
+            (params, batch_stats, opt_state) = carry
+            t0 = time.perf_counter()
+            carry, last = train_scan(params, batch_stats, opt_state, x, y, scan_keys)
+            jax.block_until_ready(last)
+            sps_scanned = n_steps / (time.perf_counter() - t0)
+        except Exception:
+            sps_scanned = None
 
-        carry, losses = lax.scan(body, (params, batch_stats, opt_state), keys)
-        return carry, losses[-1]
+    # When the headline is the validated bf16 mode, also report the f32 figure
+    # (the round-3 headline) so cross-round numbers stay directly comparable.
+    sps_f32 = None
+    if use_bf16 and not smoke:
+        try:
+            sps_f32, _, _, _ = run_mode(None, with_flops=False)
+        except Exception:
+            sps_f32 = None
 
-    try:
-        if smoke:
-            raise RuntimeError("smoke mode: skip the scanned-figure compile")
-        scan_keys = jnp.stack(step_keys)
-        carry, last = train_scan(params, batch_stats, opt_state, x, y, scan_keys)  # compile+warm
-        jax.block_until_ready(last)
-        (params, batch_stats, opt_state) = carry
-        t0 = time.perf_counter()
-        carry, last = train_scan(params, batch_stats, opt_state, x, y, scan_keys)
-        jax.block_until_ready(last)
-        sps_scanned = n_steps / (time.perf_counter() - t0)
-    except Exception:
-        sps_scanned = None
     mid, low, high, basis = a100_baseline_steps_per_sec()
     achieved_tf = sps * flops / 1e12 if np.isfinite(flops) else None
     # legacy round-1/2 anchor, for cross-round comparability of old BENCH_r*.json
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "runs", "logs", "torch_baseline.json")) as fh:
+        with open(os.path.join(REPO, "runs", "logs", "torch_baseline.json")) as fh:
             legacy = json.load(fh)["torch_cpu_steps_per_sec"] * CPU_TO_A100
     except (OSError, KeyError, ValueError):
         legacy = None
@@ -209,6 +286,9 @@ def main():
         "baseline_steps_per_sec": round(mid, 3),
         "baseline_steps_per_sec_range": [round(low, 3), round(high, 3)],
         "baseline_basis": basis,
+        "compute_dtype": "bfloat16" if use_bf16 else "float32",
+        "bf16_validation": val,
+        "steps_per_sec_f32": round(sps_f32, 3) if sps_f32 else None,
         "vs_baseline_legacy_r1r2": round(sps / legacy, 3) if legacy else None,
         "steps_per_sec_scanned": round(sps_scanned, 3) if sps_scanned else None,
         "vs_baseline_scanned": round(sps_scanned / mid, 3) if sps_scanned else None,
