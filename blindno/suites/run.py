@@ -61,6 +61,7 @@ def stage_train(spec, args):
         ckpt_dir=os.path.join(args.workdir, "ckpt", f"{spec.name}_{args.model}"),
         log_path=os.path.join(args.workdir, "logs", f"{spec.name}_{args.model}.jsonl"),
         seed=args.seed,
+        **({"tp": args.tp} if args.tp else {}),
     )
     model = spec.models[args.model]()
     print(f"[{spec.name}/{args.model}] training {cfg.epochs} epochs...")
@@ -98,6 +99,10 @@ def main():
     p.add_argument("--m", type=int, default=None)
     p.add_argument("--m-test", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel factor: shard FNO channel dims over a "
+                        "'model' mesh axis; the batch shards over the remaining "
+                        "devices (data axis). Default: registry config (1).")
     p.add_argument("--force", action="store_true")
     args = p.parse_args()
     spec = SUITES[args.suite]
