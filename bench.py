@@ -83,12 +83,13 @@ def a100_baseline_steps_per_sec():
     return (FALLBACK_A100_EST,) * 3 + ("fixed estimate (torch_baseline.json absent)",)
 
 
-def bf16_validation():
+def bf16_validation(path=None):
     """The BASELINE.md headline gate: a full registry-config suite row trained with
     ``TrainConfig.compute_dtype='bfloat16'`` must match the f32 row's accuracy.
     Reads the round-4 queue's validation summary; returns a dict describing the
     gate (with ``passed``) or None if the validation has not been run."""
-    path = os.path.join(REPO, "runs", "logs", "fpe1d_nio_bf16val_summary.json")
+    if path is None:
+        path = os.path.join(REPO, "runs", "logs", "fpe1d_nio_bf16val_summary.json")
     try:
         with open(path) as fh:
             d = json.load(fh)

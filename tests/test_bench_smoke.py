@@ -44,3 +44,29 @@ def test_bench_json_contract():
         assert d["steps_per_sec_scanned"] > 0
     # flops may be NaN if cost analysis is unavailable, but the key must exist
     assert "flops_per_step" in d and "mfu_vs_v5e_bf16_peak" in d
+
+
+def test_bf16_validation_gate(tmp_path):
+    """The headline may only flip to bf16 when the committed validation summary
+    shows the bf16-trained row within the 5% seed-noise band of the f32 row."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # absent summary -> no validation record at all
+    assert bench.bf16_validation(str(tmp_path / "missing.json")) is None
+
+    def gate(bf16_best, f32_best):
+        p = tmp_path / "s.json"
+        p.write_text(json.dumps({"best_test_loss": bf16_best, "f32_row_best": f32_best}))
+        return bench.bf16_validation(str(p))
+
+    assert gate(0.18, 0.18)["passed"] is True        # equal accuracy
+    assert gate(0.188, 0.18)["passed"] is True       # within the 1.05x band
+    assert gate(0.20, 0.18)["passed"] is False       # outside the band
+    # malformed summaries (f32 row missing / None) must not crash the bench
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps({"best_test_loss": 0.18, "f32_row_best": None}))
+    assert bench.bf16_validation(str(p)) is None
