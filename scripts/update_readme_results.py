@@ -26,6 +26,26 @@ NAMES = {"nio": "NIO", "fno": "FNO-NIO", "unet": "BlinDNO"}
 ORDER = list(REF) + [("gpe1d_vgk", "nio")]
 
 
+def _bf16_lines():
+    """Throughput-paragraph lines describing the bf16 headline gate's state
+    (bench.py flips its headline on the same summary; keep the README in sync)."""
+    import bench
+
+    val = bench.bf16_validation()
+    if val is None:
+        return ["The accuracy-validated bf16 training mode is pending its validation",
+                "row (`TrainConfig.compute_dtype`); until then the headline is f32."]
+    if val["passed"]:
+        return [f"The bf16 mixed-precision mode is accuracy-validated "
+                f"(fpe1d/nio: {val['bf16_best_test_rel_l2']:.4f} bf16 vs "
+                f"{val['f32_best_test_rel_l2']:.4f} f32), so the benchmark headline",
+                "uses it, with the f32 figure reported alongside (bench.py docstring",
+                "records the gate and the system-level comparison rationale)."]
+    return [f"The bf16 mixed-precision mode FAILED its accuracy gate "
+            f"(fpe1d/nio: {val['bf16_best_test_rel_l2']:.4f} bf16 vs "
+            f"{val['f32_best_test_rel_l2']:.4f} f32); the headline stays f32."]
+
+
 def _collect():
     """(suite, model) -> (best_test_loss, round_tag), current round preferred."""
     out = {}
@@ -105,12 +125,15 @@ def main():
         "v5e chip against an A100 baseline derived from counted torch FLOPs",
         "(`runs/logs/torch_baseline.json`) times a cited sustained-throughput band,",
         "reported as a mid value plus a conservative range, with achieved TFLOP/s and",
-        "MFU (see BENCH_r*.json). The driver's >=5x north-star is NOT yet met on this",
-        "honest anchor (r03: 1.88x mid-band); the step runs at the HBM-bandwidth roof",
-        "(profile_r04_analysis.md), putting >=5x out of reach on one chip — see",
-        "BASELINE.md's roofline reconciliation.",
+        "MFU (see BENCH_r*.json).",
+        *_bf16_lines(),
+        "The driver's >=5x north-star is NOT met on this honest anchor (f32: 1.9x",
+        "mid-band); the step runs at the HBM-bandwidth roof (profile_r04_analysis.md),",
+        "putting >=5x out of reach on one chip — see BASELINE.md's roofline",
+        "reconciliation.",
         "`runs/logs/bench_variants.json` records the jnp-vs-Pallas kernel comparison",
         "behind the default spectral impl.",
+        "",
         "",
     ])
     readme = open("/root/repo/README.md").read()
