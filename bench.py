@@ -103,6 +103,10 @@ def bf16_validation(path=None):
         "f32_best_test_rel_l2": round(f32_best, 6),
         "criterion": f"bf16 <= {BF16_ACCURACY_TOL:.2f} x f32 (identical-config seed-noise band)",
         "passed": bool(bf16_best <= BF16_ACCURACY_TOL * f32_best),
+        # the validated TrainConfig.amp_policy — the headline step must run the SAME
+        # cast policy the accuracy gate was earned with (round 4 validated "all" and
+        # FAILED; round 5 validates the profile-guided "encoder" policy)
+        "amp_policy": d.get("amp_policy", "all"),
     }
 
 
@@ -150,22 +154,19 @@ def main():
     all_keys = list(jax.random.split(jax.random.PRNGKey(2), n_steps + 3))
     warm_keys, step_keys = all_keys[:3], all_keys[3:]
 
-    def make_step(cdtype):
+    def make_step(cdtype, amp_policy="all"):
         """The (un-jitted) bench step body, mirroring blindno/train/loop.py
-        train_loss_and_grads exactly: the (optional) bf16 cast lives INSIDE the loss
+        train_loss_and_grads exactly: the (optional) cast — via the train loop's own
+        amp_cast_fns, honoring the validated amp_policy — lives INSIDE the loss
         closure, so autodiff accumulates gradients back to f32 master params; batch
         stats are re-cast to f32 so the training state never changes dtype."""
         if cdtype is None:
             cast = uncast = lambda t: t
             in_dtype = jnp.float32
         else:
-            def cast(t):
-                return jax.tree.map(
-                    lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, t)
+            from blindno.train.loop import amp_cast_fns
 
-            def uncast(t):
-                return jax.tree.map(
-                    lambda a: a.astype(jnp.float32) if a.dtype == cdtype else a, t)
+            cast, uncast = amp_cast_fns(cdtype, amp_policy)
             in_dtype = cdtype
 
         def train_step(params, batch_stats, opt_state, xb, yb, key):
@@ -189,10 +190,10 @@ def main():
         params = v["params"]
         return params, v.get("batch_stats", {}), tx.init(params)
 
-    def run_mode(cdtype, with_flops):
+    def run_mode(cdtype, with_flops, amp_policy="all"):
         """Warm + time the per-step-dispatched loop for one compute dtype.
         Returns (steps/s, flops_per_step, final_state, train_step)."""
-        train_step = jax.jit(make_step(cdtype), donate_argnums=(0, 1, 2))
+        train_step = jax.jit(make_step(cdtype, amp_policy), donate_argnums=(0, 1, 2))
         params, batch_stats, opt_state = fresh_state()
         for k in warm_keys:
             params, batch_stats, opt_state, loss = train_step(
@@ -224,8 +225,9 @@ def main():
     val = bf16_validation()
     use_bf16 = bool(val and val["passed"]) and not os.environ.get("BLINDNO_BENCH_F32")
     headline_dtype = jnp.bfloat16 if use_bf16 else None
+    headline_policy = val["amp_policy"] if use_bf16 else "all"
 
-    sps, flops, state, _ = run_mode(headline_dtype, with_flops=True)
+    sps, flops, state, _ = run_mode(headline_dtype, with_flops=True, amp_policy=headline_policy)
 
     # Secondary figure: the same step body scanned on-device (lax.scan over the
     # step keys, one XLA program for the whole run) — pure device throughput with
@@ -234,7 +236,7 @@ def main():
     # per-step-dispatched loop, apples-to-apples with the reference's torch loop.
     sps_scanned = None
     if not smoke:
-        step_unjit = make_step(headline_dtype)  # un-jitted body for the scan
+        step_unjit = make_step(headline_dtype, headline_policy)  # un-jitted body for the scan
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_scan(params, batch_stats, opt_state, xb, yb, keys):
@@ -288,6 +290,7 @@ def main():
         "baseline_steps_per_sec_range": [round(low, 3), round(high, 3)],
         "baseline_basis": basis,
         "compute_dtype": "bfloat16" if use_bf16 else "float32",
+        "amp_policy": headline_policy if use_bf16 else None,
         "bf16_validation": val,
         "steps_per_sec_f32": round(sps_f32, 3) if sps_f32 else None,
         "vs_baseline_legacy_r1r2": round(sps / legacy, 3) if legacy else None,

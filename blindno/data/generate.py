@@ -59,13 +59,20 @@ def _wells_on_grid(x, centers, widths, amps):
 
 def generate_fpe1d(seed: int, m: int, n_snapshots: int = 100, tf: float = 2e-3,
                    nsteps: int = 400, resolution: float = 10 * NM, extent: float = 800 * NM,
-                   init_width: float = 50 * NM, batch: int = 64):
+                   init_width: float = 50 * NM, batch: int = 64, store_pt: bool = False):
     """1-D FPE drift-diffusion dataset (``dataset_1d_drift_diffusion.py``).
 
     TPU path: one dense ``expm`` of the per-step propagator + a matvec scan over the
     fplanck-style uniform output grid (eigh is QR-iteration-bound on TPU and loses to
     the pure-matmul expm even at 80x80), then an on-device gather of the per-sample
     random snapshot indices. Returns the reference's npz dict.
+
+    ``store_pt=True`` additionally stores the FULL density trajectory over all
+    ``nsteps`` recorded times as ``Pt`` (M, nsteps, Nx) plus ``time_full`` — the
+    reference's evaluation-archive format (``1d_FPE/dataset_gen_evaluation.py``
+    keeps Pt so compute_time_error can integrate without re-solving). The default
+    keeps only the sampled snapshots (our time_error re-solves ground truth
+    on-device instead — an equivalent metric at a fraction of the archive size).
     """
     rng = np.random.default_rng(seed)
     x = np.asarray(grid_from_extent(extent, resolution)[0])
@@ -84,23 +91,30 @@ def generate_fpe1d(seed: int, m: int, n_snapshots: int = 100, tf: float = 2e-3,
     def solve(u_i, d_i, sel_i):
         pt = propagate_expm(u_i, d_i * jnp.ones_like(u_i), resolution, BETA,
                             jnp.asarray(p0, u_i.dtype), jnp.asarray(full_time, u_i.dtype))
-        return jnp.take(pt, sel_i, axis=0)
+        return (pt, jnp.take(pt, sel_i, axis=0)) if store_pt else jnp.take(pt, sel_i, axis=0)
 
     solve_v = jax.jit(jax.vmap(solve))
-    trajs = []
+    trajs, fulls = [], []
     for s in range(0, m, batch):
         e = min(s + batch, m)
         out = solve_v(jnp.asarray(u[s:e], jnp.float32), jnp.asarray(diff[s:e], jnp.float32),
                       jnp.asarray(sel[s:e]))
+        if store_pt:
+            fulls.append(np.asarray(out[0]))
+            out = out[1]
         trajs.append(np.asarray(out))
     trajectories = np.concatenate(trajs)  # (M, n_snapshots, Nx)
-    return {
+    d = {
         "time": times,
         "grid": np.broadcast_to(x, (m, x.shape[0])).copy(),
         "trajectories": trajectories,
         "potential": u,
         "drag": drags,
     }
+    if store_pt:
+        d["Pt"] = np.concatenate(fulls)  # (M, nsteps, Nx) full recorded trajectory
+        d["time_full"] = np.broadcast_to(full_time, (m, nsteps)).copy()
+    return d
 
 
 # ------------------------------------------------------------------ 2D FPE

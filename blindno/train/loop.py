@@ -102,6 +102,21 @@ class TrainConfig:
     # f32, i.e. torch-AMP-style mixed precision rather than a half-precision model.
     # None (default) = pure f32 storage+compute, the accuracy-validated parity path.
     compute_dtype: str | None = None
+    # Which params/batch-stats the compute_dtype cast touches:
+    #   "all":     every f32 leaf (the round-4 validated-and-FAILED full-bf16 mode:
+    #              fpe1d/nio trained 30% worse — runs/logs/fpe1d_nio_bf16val_allbf16_
+    #              summary.json).
+    #   "encoder": only leaves whose tree path contains "Encoder" — the CNN snapshot
+    #              encoder, which the round-4 profile pins at >=95% of NIO step time
+    #              (conv weight-gradients + BN over the (B*L, H, W) activation stack).
+    #              The numerically sensitive tail (DeepONet branch/trunk contraction,
+    #              spectral-conv DFT matmuls, FNO heads) stays f32: its activations are
+    #              per-sample (L-fold smaller), so it contributes little bandwidth but
+    #              all of the full-bf16 mode's observed accuracy loss. bf16 encoder
+    #              outputs promote back to f32 at the first f32-weight contraction.
+    # Ignored when compute_dtype is None. Only meaningful for NIO-family models
+    # (UNet param trees have no "Encoder" scope — "encoder" casts nothing there).
+    amp_policy: str = "all"
     # Early stop: end the run when the best test loss has not improved for this many
     # epochs (checked at eval intervals; None = reference-exact fixed-epoch behavior).
     # A run stopped this way counts as finished (TrainResult.finished) — the best
@@ -126,6 +141,39 @@ class TrainResult:
     # exhausted) rather than by preemption/divergence — drivers use this to decide
     # whether to write the run's summary or leave it resumable.
     finished: bool = False
+
+
+def amp_cast_fns(cdtype, policy: str = "all"):
+    """(cast_tree, uncast_tree) for TrainConfig.compute_dtype / amp_policy.
+
+    ``cast_tree`` casts the selected f32 leaves to ``cdtype`` inside the loss
+    closure (autodiff of the cast accumulates gradients back to the f32 master
+    leaves); ``uncast_tree`` restores any ``cdtype`` leaf to f32 so stored state
+    (batch stats, checkpoints) never changes dtype. Policy "encoder" selects only
+    leaves whose path mentions an Encoder scope — see TrainConfig.amp_policy.
+    """
+    if policy == "all":
+        pred = None
+    elif policy == "encoder":
+        def pred(path):
+            return any("Encoder" in str(getattr(k, "key", k)) for k in path)
+    else:
+        raise ValueError(f"unknown amp_policy {policy!r} (want 'all' or 'encoder')")
+
+    def cast_tree(t):
+        if pred is None:
+            return jax.tree.map(
+                lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, t)
+        return jax.tree_util.tree_map_with_path(
+            lambda p, a: a.astype(cdtype) if (a.dtype == jnp.float32 and pred(p)) else a, t)
+
+    def uncast_tree(t):
+        # only cast_tree-produced leaves are cdtype, so restoring every cdtype
+        # leaf is policy-independent
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == cdtype else a, t)
+
+    return cast_tree, uncast_tree
 
 
 def _rotate_vec2(y, k: int):
@@ -272,13 +320,7 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
     # changes dtype (checkpoints/resume stay f32 regardless of compute_dtype).
     cdtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else jnp.float32
     if cfg.compute_dtype:
-        def cast_tree(t):
-            return jax.tree.map(
-                lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a, t)
-
-        def uncast_tree(t):
-            return jax.tree.map(
-                lambda a: a.astype(jnp.float32) if a.dtype == cdtype else a, t)
+        cast_tree, uncast_tree = amp_cast_fns(cdtype, cfg.amp_policy)
     else:
         cast_tree = uncast_tree = lambda t: t
 

@@ -25,6 +25,14 @@ REF = {
 NAMES = {"nio": "NIO", "fno": "FNO-NIO", "unet": "BlinDNO"}
 ORDER = list(REF) + [("gpe1d_vgk", "nio")]
 
+# Row-specific evidence context the generic labels can't carry (round-4 advisor:
+# a bare "close" hid that the currently reproducible run sits behind a lost one).
+EXTRA_NOTES = {
+    ("schrodinger1d", "unet"):
+        "pre-wipe seed-1 run matched ref at 0.0384 (summary kept as "
+        "schrodinger1d_unet_summary_prewipe.json); identical-config rerun landed here",
+}
+
 
 def _bf16_lines():
     """Throughput-paragraph lines describing the bf16 headline gate's state
@@ -83,8 +91,13 @@ def main():
             loss, tag = e.get("best_ckpt_test_loss", float("nan")), "partial"
         status = ""
         if ref:
+            margin = 100.0 * (loss / ref - 1.0)
             status = ("**beats ref**" if loss < ref
-                      else "close" if loss < 1.15 * ref else "behind (see notes)")
+                      else f"close (ref {margin:+.0f}%)" if loss < 1.15 * ref
+                      else "behind (see notes)")
+        note = EXTRA_NOTES.get(key)
+        if note:
+            status = ", ".join(s for s in (status, note) if s)
         if tag == "r1":
             status = ", ".join(s for s in (status, "round-1 run (not re-evaluated this round)") if s)
         elif tag == "partial":

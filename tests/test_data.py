@@ -26,6 +26,24 @@ def test_generate_fpe1d_shapes():
     assert (np.diff(d["time"], axis=1) >= 0).all()
 
 
+def test_generate_fpe1d_store_pt():
+    """store_pt=True adds the reference eval-archive fields (1d_FPE/
+    dataset_gen_evaluation.py keeps the full density trajectory Pt): snapshots
+    must be an exact gather of Pt at the recorded snapshot times."""
+    d = G.generate_fpe1d(seed=0, m=3, n_snapshots=6, nsteps=25, store_pt=True)
+    assert d["Pt"].shape == (3, 25, 80)
+    assert d["time_full"].shape == (3, 25)
+    np.testing.assert_allclose(d["Pt"].sum(-1), 1.0, rtol=1e-4)
+    # every stored snapshot row appears verbatim in Pt at its snapshot time
+    for i in range(3):
+        idx = np.searchsorted(d["time_full"][i], d["time"][i])
+        np.testing.assert_allclose(d["trajectories"][i], d["Pt"][i, idx], rtol=1e-6)
+    # default keeps the lean archive (no Pt) and identical sampled snapshots
+    lean = G.generate_fpe1d(seed=0, m=3, n_snapshots=6, nsteps=25)
+    assert "Pt" not in lean
+    np.testing.assert_allclose(lean["trajectories"], d["trajectories"], rtol=1e-6)
+
+
 def test_generate_fpe2d_shapes():
     d = G.generate_fpe2d(seed=0, m=2, n_snapshots=5, nsteps=20, resolution=20 * G.NM,
                          extent=(300 * G.NM, 300 * G.NM))

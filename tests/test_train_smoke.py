@@ -116,6 +116,50 @@ def test_compute_dtype_bf16_mixed_precision(tmp_path):
     assert np.isfinite(res_scan.best_test_loss)
 
 
+def test_amp_policy_encoder(tmp_path):
+    """amp_policy='encoder' must cast ONLY Encoder-scoped leaves to the compute dtype
+    (the profile-guided selective-AMP mode: bf16 CNN encoder, f32 DeepONet/FNO tail)
+    and still train to an f32-comparable loss with f32 master state."""
+    import dataclasses
+
+    from blindno.train.loop import amp_cast_fns
+
+    d = G.generate_fpe1d(seed=7, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    x = jnp.asarray(ds.inputs[:2])
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, jnp.asarray(grid))
+
+    cast, uncast = amp_cast_fns(jnp.bfloat16, "encoder")
+    casted = cast(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(casted)
+    enc = [(p, a) for p, a in flat if "Encoder" in jax.tree_util.keystr(p)]
+    rest = [(p, a) for p, a in flat if "Encoder" not in jax.tree_util.keystr(p)]
+    assert enc and rest
+    assert all(a.dtype == jnp.bfloat16 for _, a in enc)
+    assert all(a.dtype != jnp.bfloat16 for _, a in rest)
+    # uncast restores everything to f32 exactly where cast touched it
+    for a, b in zip(jax.tree.leaves(uncast(casted)), jax.tree.leaves(variables["params"])):
+        assert a.dtype == b.dtype
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        amp_cast_fns(jnp.bfloat16, "bogus")
+
+    cfg = TrainConfig(epochs=2, batch_size=8, save_interval=1)
+    res_f32 = train_model(model, ds, grid, cfg)
+    res_enc = train_model(model, ds, grid,
+                          dataclasses.replace(cfg, compute_dtype="bfloat16",
+                                              amp_policy="encoder"))
+    assert np.isfinite(res_enc.best_test_loss)
+    assert abs(res_enc.best_test_loss - res_f32.best_test_loss) < 0.25 * res_f32.best_test_loss
+    for leaf in jax.tree.leaves(res_enc.params):
+        assert leaf.dtype != jnp.bfloat16
+
+
 def test_early_stop_patience(tmp_path, monkeypatch):
     """A constant test metric never improves past the first eval, so patience must
     end the run — and an early-stopped run counts as finished (round-4 queue
