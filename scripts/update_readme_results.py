@@ -43,14 +43,15 @@ def _bf16_lines():
     if val is None:
         return ["The accuracy-validated bf16 training mode is pending its validation",
                 "row (`TrainConfig.compute_dtype`); until then the headline is f32."]
+    policy = val.get("amp_policy", "all")
     if val["passed"]:
-        return [f"The bf16 mixed-precision mode is accuracy-validated "
-                f"(fpe1d/nio: {val['bf16_best_test_rel_l2']:.4f} bf16 vs "
-                f"{val['f32_best_test_rel_l2']:.4f} f32), so the benchmark headline",
-                "uses it, with the f32 figure reported alongside (bench.py docstring",
-                "records the gate and the system-level comparison rationale)."]
-    return [f"The bf16 mixed-precision mode FAILED its accuracy gate "
-            f"(fpe1d/nio: {val['bf16_best_test_rel_l2']:.4f} bf16 vs "
+        return [f"The bf16 mixed-precision mode (amp_policy='{policy}') is "
+                f"accuracy-validated (fpe1d/nio: {val['bf16_best_test_rel_l2']:.4f} "
+                f"bf16 vs {val['f32_best_test_rel_l2']:.4f} f32), so the benchmark",
+                "headline uses it, with the f32 figure reported alongside (bench.py",
+                "docstring records the gate and the comparison rationale)."]
+    return [f"The bf16 mixed-precision mode (amp_policy='{policy}') FAILED its "
+            f"accuracy gate (fpe1d/nio: {val['bf16_best_test_rel_l2']:.4f} bf16 vs "
             f"{val['f32_best_test_rel_l2']:.4f} f32); the headline stays f32."]
 
 
@@ -140,10 +141,10 @@ def main():
         "reported as a mid value plus a conservative range, with achieved TFLOP/s and",
         "MFU (see BENCH_r*.json).",
         *_bf16_lines(),
-        "The driver's >=5x north-star is NOT met on this honest anchor (f32: 1.9x",
-        "mid-band); the step runs at the HBM-bandwidth roof (profile_r04_analysis.md),",
-        "putting >=5x out of reach on one chip — see BASELINE.md's roofline",
-        "reconciliation.",
+        "The driver's >=5x north-star is NOT met on this honest anchor (f32 1.9x",
+        "mid-band; bf16 measured 2.65x in round 4); the step runs at the",
+        "HBM-bandwidth roof (profile_r04_analysis.md), putting >=5x out of reach on",
+        "one chip — see BASELINE.md's roofline reconciliation.",
         "`runs/logs/bench_variants.json` records the jnp-vs-Pallas kernel comparison",
         "behind the default spectral impl.",
         "",
