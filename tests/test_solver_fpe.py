@@ -187,6 +187,38 @@ def test_expm_markov_f32_vmapped(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-6)
 
 
+def test_expm_markov_large_a_near_guard(x64):
+    """Pin expm_markov at large ``lam*dt`` near the max_terms guard (the regime the
+    docstring bounds but the NC suite's a~5-20 never exercises).
+
+    (1) at lam*dt ~ 600 (30-100x the dataset regime; scaled series a=37.5 under the
+    default squarings=4) the series must still match Pade; (2) a max_terms just
+    above the tail bound stays finite and correct; (3) crossing the bound must
+    NaN-poison the WHOLE propagator — never a silently-renormalized wrong answer
+    (the column renormalization would otherwise mask the truncation)."""
+    from blindno.solvers.fokker_planck import build_generator, expm_markov
+
+    x = np.linspace(-1, 1, 20)
+    gx, gy = np.meshgrid(x, x, indexing="ij")
+    u = jnp.asarray(np.exp(-(gx**2 + gy**2)), jnp.float64) * 2.0
+    m = build_generator(u, 0.7, 2.0 / 19, beta=1.0)
+    lam = float(np.max(-np.diagonal(np.asarray(m)))) * (1.0 + 1e-6)
+    dt = 600.0 / lam  # scaled a = 600 / 2^4 = 37.5; tail bound ~ 108.7 terms
+    a = 600.0 / 16.0
+    need = a + 10.0 * np.sqrt(a) + 10.0
+    want = jax.scipy.linalg.expm(m * dt)
+    got = expm_markov(m, dt)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.sum(axis=0)), 1.0, atol=1e-9)
+    # (2) just-above-the-bound max_terms: still finite and identical
+    tight = expm_markov(m, dt, max_terms=int(need) + 2)
+    np.testing.assert_allclose(np.asarray(tight), np.asarray(got), rtol=1e-9, atol=1e-12)
+    # (3) just-below: the guard fires and poisons every entry
+    poisoned = expm_markov(m, dt, max_terms=int(need) - 2)
+    assert np.isnan(np.asarray(poisoned)).all()
+
+
 def test_expm_markov_squarings_consistent(x64):
     """Scaling-and-squaring (the NC datagen speedup) must agree with the plain
     series and with Pade, at several squaring depths."""
