@@ -117,6 +117,84 @@ def stage_variant_fit(suite, model, tag, sec_per_epoch, min_epochs=150, reserve=
     r4.stage_variant(suite, model, tag, overrides)
 
 
+def stage_fpe2d_scale():
+    """VERDICT #3 (stretch): one larger-m datapoint for the contamination scaling
+    law (docs/fpe2d_gap_analysis.md §2: rel-L2 ~ m^-0.48 over m=2k/8k; the thesis
+    needs a point above 8k to confirm or break the exponent).
+
+    Builds an m=12000 train set by extending the seed-0 m=8000 archive with a
+    seed-1 m=4000 generation (fpe2d_train_ext4k.npz — disjoint parameter draws;
+    m=12000 keeps the device-resident bf16 input tensor ~9 GB, safely under the
+    16 GB v5e HBM, where m=16000 would risk OOM). Trains fpe2d/unet at the
+    registry config (D4 aug), epoch-capped. Summary-only, NOT a RESULTS row (the
+    row protocol is m=8000): fpe2d_unet_m12k_summary.json. Law prediction:
+    0.1398 * (12/8)^-0.48 = 0.115; materially below breaks the thesis."""
+    import dataclasses
+
+    import numpy as np
+
+    from blindno.suites.registry import SUITES
+
+    summary_path = os.path.join(W, "logs", "fpe2d_unet_m12k_summary.json")
+    if os.path.exists(summary_path):
+        log("skip fpe2d m12k scale (summary exists)")
+        return
+    spec = SUITES["fpe2d"]
+    ensure_data(spec)
+    ext = os.path.join(W, "data", "fpe2d_train_ext4k.npz")
+    if not os.path.exists(ext):
+        from blindno.data import generate as G
+
+        log("datagen fpe2d ext m=4000 (seed 1)")
+        d = G.generate_fpe2d(seed=1, m=4000)
+        tmp = ext + ".tmp.npz"
+        np.savez(tmp, **d)
+        os.replace(tmp, ext)
+    key = "fpe2d_m12k"
+    if key not in r4._DATA:
+        t0 = time.time()
+        src = os.path.join(W, "data", spec.train_file)
+        with np.load(src, allow_pickle=True) as z:
+            raw = {k: z[k] for k in z.files}
+        with np.load(ext, allow_pickle=True) as z:
+            raw = {k: np.concatenate([raw[k], z[k]], axis=0) for k in raw}
+        r4._DATA[key] = spec.loader(raw)
+        del raw
+        log(f"built m=12000 archive in {time.time() - t0:.0f}s")
+    from blindno.train.loop import train_model
+
+    full = spec.train_cfg.epochs
+    # ~27 s/epoch at 600 steps/epoch (unet m=8k measured 18.2 s/epoch at 400)
+    fit = int((r4.remaining() - 600) / 27.0 // 5 * 5)
+    if fit < 150:
+        log(f"skip fpe2d m12k scale: window fits only {fit} epochs")
+        return
+    cfg = dataclasses.replace(
+        spec.train_cfg,
+        epochs=min(fit, full),
+        ckpt_dir=os.path.join(W, "ckpt", "fpe2d_unet_m12k"),
+        log_path=os.path.join(W, "logs", "fpe2d_unet_m12k.jsonl"),
+        stop_file=os.path.join(W, "STOP"),
+        early_stop_patience=130,
+    )
+    model = spec.models["unet"]()
+    log(f"train fpe2d_unet_m12k for {cfg.epochs}/{full} epochs (scaling-law point)")
+    t0 = time.time()
+    res = train_model(model, r4._DATA[key], spec.grid, cfg)
+    wall = time.time() - t0
+    if not res.finished:
+        return
+    d = r4._summary(res, cfg, "fpe2d", "unet_m12k", wall,
+                    {"experiment": "m-scaling datapoint (contamination-thesis test)",
+                     "m_train": 12000,
+                     "law_prediction_m12k": 0.115,
+                     "honest_m8k_row": 0.139771})
+    with open(summary_path, "w") as fh:
+        json.dump(d, fh, indent=1)
+    log(f"  m12k best split-test {res.best_test_loss:.6f} "
+        f"(law predicts ~0.115; m8k row 0.1398)")
+
+
 def stage_trans_demo():
     """Short demonstration run of the registered-but-never-trained Transolver
     variant (VERDICT weak #5): 50 epochs of fpe2d/trans at the registry config.

@@ -62,8 +62,11 @@ def _collect():
                          ("", "/root/repo/runs/logs/*_summary.json")):
         for f in sorted(glob.glob(pattern)):
             d = json.load(open(f))
-            if "leakdemo" in d["model"]:
-                continue  # falsification experiment, not a results row (docs/fpe2d_gap_analysis.md)
+            # experiment summaries (leakage falsification, bf16 accuracy gates,
+            # m-scaling datapoints, short demo runs) are evidence artifacts, not
+            # results rows — their context lives in docs/ and the throughput text
+            if any(t in d["model"] for t in ("leakdemo", "bf16val", "_m12k", "_demo")):
+                continue
             out[(d["suite"], d["model"])] = (d["best_test_loss"], tag)
     return out
 
