@@ -234,6 +234,11 @@ PLAN = [
     (r4.stage_retry, ("schrodinger1d", "unet", 2), 1700, "schrodinger1d/unet s2"),
     (stage_trans_demo, (), 2200, "fpe2d/trans 50-epoch demo"),
     (r4.stage_retry, ("schrodinger1d", "unet", 3), 1700, "schrodinger1d/unet s3"),
+    # Session-2 tail additions (picked up by queue_runner relaunches; the stages
+    # above self-skip via summaries/done-markers). Stretch order: the m-scaling
+    # contamination datapoint (VERDICT #3) outranks a fourth schrod seed.
+    (stage_fpe2d_scale, (), 5800, "fpe2d m12k scaling-law point"),
+    (r4.stage_retry, ("schrodinger1d", "unet", 4), 1700, "schrodinger1d/unet s4"),
 ]
 
 
