@@ -92,11 +92,19 @@ class TorchBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        # torch.cuda.amp semantics: BatchNorm always computes in f32 (autocast puts
+        # batch_norm on the fp32 list) — under a bf16 activation stream the input is
+        # promoted for the affine/normalization arithmetic (flax already forces the
+        # mean/var reductions to f32) and the result is cast back, so downstream convs
+        # keep streaming bf16. A pure-f32 stream is unchanged (y.astype is a no-op),
+        # preserving the golden torch-parity paths.
+        y = nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,  # flax EMA decay == 1 - torch momentum
             epsilon=1e-5,
+            dtype=jnp.float32,
         )(x)
+        return y.astype(x.dtype)
 
 
 class TorchLayerNorm(nn.Module):

@@ -114,6 +114,13 @@ class TrainConfig:
     #              per-sample (L-fold smaller), so it contributes little bandwidth but
     #              all of the full-bf16 mode's observed accuracy loss. bf16 encoder
     #              outputs promote back to f32 at the first f32-weight contraction.
+    #              FAILED its round-5 gate too (fpe1d/nio 0.2042 vs needed 0.1896 —
+    #              runs/logs/fpe1d_nio_bf16val_enc_summary.json).
+    #   "encoder_bn32": "encoder" minus BatchNorm leaves (torch autocast's fp32
+    #              list): conv/dense compute and activations stream bf16, BN affine
+    #              params + running stats stay exactly f32 — removing the per-step
+    #              stat quantization and the train/eval normalization mismatch the
+    #              "encoder" gate failures are attributed to.
     # Ignored when compute_dtype is None. Only meaningful for NIO-family models
     # (UNet param trees have no "Encoder" scope — "encoder" casts nothing there).
     amp_policy: str = "all"
@@ -157,8 +164,20 @@ def amp_cast_fns(cdtype, policy: str = "all"):
     elif policy == "encoder":
         def pred(path):
             return any("Encoder" in str(getattr(k, "key", k)) for k in path)
+    elif policy == "encoder_bn32":
+        # torch-AMP-faithful selective cast: Encoder conv/dense leaves go bf16, but
+        # BatchNorm scale/bias/running-stats stay f32 (autocast's fp32 list). The
+        # 'encoder' policy quantized those to bf16 on every use, which both noised
+        # the running-stat EMA and made the f32 eval path normalize with stats the
+        # bf16 train path never saw; TorchBatchNorm's f32-compute + cast-back keeps
+        # the activation stream bf16 around the exclusion.
+        def pred(path):
+            keys = [str(getattr(k, "key", k)) for k in path]
+            return any("Encoder" in k for k in keys) and not any(
+                "BatchNorm" in k for k in keys)
     else:
-        raise ValueError(f"unknown amp_policy {policy!r} (want 'all' or 'encoder')")
+        raise ValueError(
+            f"unknown amp_policy {policy!r} (want 'all', 'encoder' or 'encoder_bn32')")
 
     def cast_tree(t):
         if pred is None:

@@ -160,6 +160,50 @@ def test_amp_policy_encoder(tmp_path):
         assert leaf.dtype != jnp.bfloat16
 
 
+def test_amp_policy_encoder_bn32(tmp_path):
+    """amp_policy='encoder_bn32' (torch-autocast-faithful): Encoder conv/dense leaves
+    cast to bf16, Encoder BatchNorm leaves (scale/bias + running stats) stay f32, the
+    non-encoder tail stays f32 — and training still runs to an f32-comparable loss."""
+    import dataclasses
+
+    from blindno.train.loop import amp_cast_fns
+
+    d = G.generate_fpe1d(seed=7, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    x = jnp.asarray(ds.inputs[:2])
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x, jnp.asarray(grid))
+
+    cast, _ = amp_cast_fns(jnp.bfloat16, "encoder_bn32")
+    for tree in (variables["params"], variables["batch_stats"]):
+        flat = jax.tree_util.tree_leaves_with_path(cast(tree))
+        enc_bn = [a for p, a in flat if "Encoder" in jax.tree_util.keystr(p)
+                  and "BatchNorm" in jax.tree_util.keystr(p)]
+        enc_rest = [a for p, a in flat if "Encoder" in jax.tree_util.keystr(p)
+                    and "BatchNorm" not in jax.tree_util.keystr(p)]
+        other = [a for p, a in flat if "Encoder" not in jax.tree_util.keystr(p)]
+        assert enc_bn  # BN leaves exist in both params (scale/bias) and batch_stats
+        assert all(a.dtype == jnp.float32 for a in enc_bn)
+        assert all(a.dtype != jnp.bfloat16 for a in other)
+        if tree is variables["params"]:
+            assert enc_rest and all(a.dtype == jnp.bfloat16 for a in enc_rest)
+
+    # TorchBatchNorm keeps a bf16 stream bf16 around the f32 exclusion: the encoder
+    # forward under the cast must produce bf16 encoder features (cast-back semantics),
+    # checked indirectly by the train path below compiling with mixed leaf dtypes.
+    cfg = TrainConfig(epochs=2, batch_size=8, save_interval=1)
+    res_f32 = train_model(model, ds, grid, cfg)
+    res_bn32 = train_model(model, ds, grid,
+                           dataclasses.replace(cfg, compute_dtype="bfloat16",
+                                               amp_policy="encoder_bn32"))
+    assert np.isfinite(res_bn32.best_test_loss)
+    assert abs(res_bn32.best_test_loss - res_f32.best_test_loss) < 0.25 * res_f32.best_test_loss
+    for leaf in jax.tree.leaves(res_bn32.params) + jax.tree.leaves(res_bn32.batch_stats):
+        assert leaf.dtype != jnp.bfloat16
+
+
 def test_early_stop_patience(tmp_path, monkeypatch):
     """A constant test metric never improves past the first eval, so patience must
     end the run — and an early-stopped run counts as finished (round-4 queue
