@@ -76,6 +76,44 @@ def load_best(ckpt_dir: str):
     return ckptr.restore(min(matches, key=_best_loss_of))
 
 
+def load_best_as_warm_restart(ckpt_dir: str, params_target, batch_stats_target):
+    """Best-checkpoint fallback for when ``resume.msgpack`` is gone (host wipe:
+    the wipe-insurance snapshots commit only the small orbax ``best_*`` dirs —
+    resume files carry optimizer state and are too large to commit every 20 min).
+
+    Returns ``{"params", "batch_stats", "epoch", "test_loss"}`` with the arrays
+    restructured onto the given target trees, or ``None`` when no ``best_*``
+    exists, the structures mismatch (a different model), or the params are
+    non-finite. Optimizer state is NOT recoverable from a best checkpoint — the
+    caller performs a warm restart (fresh moments, advanced step count)."""
+    import flax.serialization as fser
+    import numpy as np
+
+    try:
+        raw = load_best(ckpt_dir)
+    except FileNotFoundError:
+        return None
+    try:
+        params = fser.from_state_dict(params_target, raw["params"])
+        batch_stats = fser.from_state_dict(batch_stats_target, raw.get("batch_stats") or {})
+    except (KeyError, ValueError, TypeError) as e:
+        print(f"[checkpoint] best-checkpoint warm restart: restructure failed ({e}); "
+              "starting fresh")
+        return None
+    # from_state_dict matches KEYS, not shapes — a different-sized model with the
+    # same module tree restores silently and would blow up (or worse, not) later
+    got, want = jax.tree.leaves(params), jax.tree.leaves(params_target)
+    if len(got) != len(want) or any(
+            np.shape(a) != np.shape(b) for a, b in zip(got, want)):
+        print("[checkpoint] best checkpoint shapes mismatch the model; starting fresh")
+        return None
+    if any(not np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(params)):
+        print("[checkpoint] best checkpoint has non-finite params; starting fresh")
+        return None
+    return {"params": params, "batch_stats": batch_stats,
+            "epoch": int(raw["epoch"]), "test_loss": float(raw["test_loss"])}
+
+
 def save_resume(ckpt_dir: str, params, batch_stats, opt_state, epoch: int,
                 best_loss: float):
     """Full resume state (params + optimizer + epoch) — absent from the reference.

@@ -329,6 +329,32 @@ def train_model(model, data: SetToFieldData, grid, cfg: TrainConfig, *,
             best_loss = float(restored["best_loss"])
             # keep the PRNG stream distinct per resumed segment
             key = jax.random.fold_in(key, start_epoch)
+        else:
+            # Host-wipe fallback: resume.msgpack never survives a wipe (only the
+            # orbax best_* dirs are wipe-insured into git). Warm restart from the
+            # best checkpoint instead of discarding the lost run: params/best_loss/
+            # epoch come from the checkpoint; Adam moments restart at zero but the
+            # optimizer step count is advanced so the StepLR schedule continues
+            # where the lost run was (a warm restart, not an exact resume).
+            from blindno.train.checkpoint import load_best_as_warm_restart
+
+            best = load_best_as_warm_restart(
+                cfg.ckpt_dir, target["params"], target["batch_stats"])
+            if best is not None and best["epoch"] >= 1:
+                params = place(best["params"])
+                batch_stats = replicate(best["batch_stats"], mesh)
+                start_epoch = best["epoch"] + 1
+                best_loss = best["test_loss"]
+                done_steps = (start_epoch - 1) * steps_per_epoch
+                opt_state = place(jax.tree.map(
+                    lambda x: np.full_like(x, done_steps)
+                    if (np.ndim(x) == 0 and np.issubdtype(np.asarray(x).dtype, np.integer))
+                    else x,
+                    target["opt_state"]))
+                key = jax.random.fold_in(key, start_epoch)
+                print(f"[train] resume.msgpack absent; warm restart from best_* at "
+                      f"epoch {best['epoch']} (best {best_loss:.6f}; Adam moments "
+                      f"reset, lr schedule advanced to step {done_steps})")
 
     def apply(variables, x, training, rngs=None, mutable=False):
         return model.apply(variables, x, grid, training=training, rngs=rngs, mutable=mutable)

@@ -100,21 +100,36 @@ def stage_variant_fit(suite, model, tag, sec_per_epoch, min_epochs=150, reserve=
     sec_per_epoch: measured whole-stage seconds per epoch (train + amortized
     load/eval/commit overhead). reserve: seconds to leave for later cheap stages.
     A window below min_epochs' worth skips (a <150-epoch 2-D run never improves
-    on the incumbent rows)."""
+    on the incumbent rows).
+
+    Resume-aware: a best_* checkpoint surviving in the run's ckpt dir (host-wipe
+    leftover) means the train loop's warm-restart path skips its epochs, so they
+    are counted into the cap and the min-window bar drops to 100 incremental
+    epochs (the lost run already paid the from-scratch phase)."""
+    import glob
+    import re
+
     from blindno.suites.registry import SUITES
 
     full = SUITES[suite].train_cfg.epochs
     save = SUITES[suite].train_cfg.save_interval
-    fit = int((r4.remaining() - reserve) / sec_per_epoch // save * save)
+    done = 0
+    for p in glob.glob(os.path.join(W, "ckpt", f"{suite}_{model}_{tag}", "best_*")):
+        m = re.search(r"_e(\d+)", os.path.basename(p))
+        if m:
+            done = max(done, int(m.group(1)))
+    window = int((r4.remaining() - reserve) / sec_per_epoch // save * save)
+    fit = done + window
     if fit >= full:
         overrides = None
-    elif fit >= min_epochs:
+    elif window >= (100 if done else min_epochs):
         overrides = {"epochs": fit}
         log(f"variant {suite}/{model}:{tag} epoch-capped to {fit}/{full} "
-            f"(remaining window {r4.remaining():.0f}s, reserve {reserve}s)")
+            f"(warm-restart from e{done}, remaining window {r4.remaining():.0f}s, "
+            f"reserve {reserve}s)")
     else:
-        log(f"skip variant {suite}/{model}:{tag}: window fits only {fit} epochs "
-            f"< min {min_epochs}")
+        log(f"skip variant {suite}/{model}:{tag}: window fits only {window} epochs "
+            f"past e{done} < min {100 if done else min_epochs}")
         return
     r4.stage_variant(suite, model, tag, overrides)
 
@@ -226,25 +241,31 @@ def stage_trans_demo():
 # load where the stage pays it; the *_fit stages self-cap instead of est-skipping,
 # so their est is the minimum worth starting (min_epochs' worth).
 PLAN = [
-    (stage_bf16val_enc, (), 1500, "fpe1d/nio bf16val encoder-policy"),
-    (r4.stage_data, ("fpe2d",), 2900, "fpe2d data"),
-    (stage_variant_fit, ("fpe2d", "nio", "aug", 24.0), 4500, "fpe2d/nio aug"),
+    # Session-3 reorder (post fourth host wipe, 22:46): the wipe killed the queue
+    # mid fpe2d/nio-aug (e115 best_* survived via wipe insurance; runs/data and
+    # resume.msgpack did not). Completed stages self-skip via their summaries.
+    # Order: the cheap bench-headline gate retry first (torch-autocast-faithful
+    # BN-f32 policy — attempts: 'all' FAILED r4 0.2359, 'encoder' FAILED r5
+    # 0.2042, need <=0.1896), then the fpe2d regen + the top VERDICT item resumed
+    # from e115 via the train loop's new best_* warm-restart path. The bn32
+    # string args are (policy, tag), NOT (suite, model) — no fpe1d_nio
+    # eval/compose is triggered because run_pass gates that on
+    # logs/{args0}_{args1}_summary.json, which never exists.
+    (stage_bf16val_enc, ("encoder_bn32", "bf16val_bn32"), 2000,
+     "fpe1d/nio bf16val encoder_bn32-policy"),
+    (r4.stage_data, ("fpe2d",), 3100, "fpe2d data"),
+    # measured 15.1 steps/s x 500 steps/epoch => 33 s/epoch + eval overhead;
+    # reserve 900s for the post-stage eval_one + compose + commit
+    (stage_variant_fit, ("fpe2d", "nio", "aug", 34.0, 150, 900), 4200, "fpe2d/nio aug"),
+    # seed-1 replay of the lost pre-wipe 0.038363 row (incumbent seed-0 row is
+    # 0.043068; datasets regenerate bit-identically so seed 1 re-reaches ~0.0384)
+    (r4.stage_variant, ("schrodinger1d", "unet", "s1b", {"seed": 1}), 2100,
+     "schrodinger1d/unet seed-1 replay"),
+    (stage_variant_fit, ("fpe2d", "fno", "aug", 32.0, 150, 2400), 5800, "fpe2d/fno aug"),
+    (stage_trans_demo, (), 2200, "fpe2d/trans 50-epoch demo"),
     (r4.stage_data, ("ncfpe2d",), 2400, "ncfpe2d data"),
     (stage_variant_fit, ("ncfpe2d", "nio", "aug", 19.0), 3800, "ncfpe2d/nio aug"),
-    # reserve 4000s so the schrod retry + trans demo still fit after the cap
-    (stage_variant_fit, ("fpe2d", "fno", "aug", 32.0, 150, 4000), 5800, "fpe2d/fno aug"),
-    (r4.stage_retry, ("schrodinger1d", "unet", 2), 1700, "schrodinger1d/unet s2"),
-    (stage_trans_demo, (), 2200, "fpe2d/trans 50-epoch demo"),
     (r4.stage_retry, ("schrodinger1d", "unet", 3), 1700, "schrodinger1d/unet s3"),
-    # Session-2 tail additions (picked up by queue_runner relaunches; the stages
-    # above self-skip via summaries/done-markers). Value-per-second order: the
-    # cheap bench-headline gate retry first (torch-autocast-faithful BN-f32
-    # policy), then the m-scaling contamination datapoint (VERDICT #3), then a
-    # fourth schrod seed. The two string args here are (policy, tag), NOT
-    # (suite, model) — no fpe1d_nio eval/compose is triggered because run_pass
-    # gates that on logs/{args0}_{args1}_summary.json, which never exists.
-    (stage_bf16val_enc, ("encoder_bn32", "bf16val_bn32"), 1900,
-     "fpe1d/nio bf16val encoder_bn32-policy"),
     (stage_fpe2d_scale, (), 5800, "fpe2d m12k scaling-law point"),
     (r4.stage_retry, ("schrodinger1d", "unet", 4), 1700, "schrodinger1d/unet s4"),
 ]

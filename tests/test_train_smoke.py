@@ -55,6 +55,42 @@ def test_resume_continues_training(tmp_path):
     assert res2.best_test_loss <= res1.best_test_loss + 1e-9
 
 
+def test_warm_restart_from_best_when_resume_file_lost(tmp_path):
+    """Host-wipe recovery: wipe insurance commits only the orbax best_* dirs, so
+    resume.msgpack can vanish mid-run. The loop must warm-restart from the best
+    checkpoint (continue at epoch+1, carry best_loss, advance the lr schedule)
+    instead of silently restarting at epoch 1."""
+    import os
+
+    import dataclasses
+
+    d = G.generate_fpe1d(seed=3, m=16, n_snapshots=8, nsteps=30)
+    ds = load_fpe1d(d)
+    grid = np.linspace(0.0, 1.0, 80, dtype=np.float32).reshape(80, 1)
+    model = NIOFP1D(width=8, modes=8, n_basis=5, neurons=16, l_min=4)
+    ck = str(tmp_path / "ck")
+    cfg = TrainConfig(epochs=2, batch_size=8, save_interval=1, ckpt_dir=ck)
+    res1 = train_model(model, ds, grid, cfg)
+    # simulate the wipe: only the best_* orbax dir survives
+    os.remove(os.path.join(ck, "resume.msgpack"))
+
+    best_epoch = int(load_best(ck)["epoch"])
+    cfg2 = dataclasses.replace(cfg, epochs=4)
+    res2 = train_model(model, ds, grid, cfg2)
+    # warm restart resumes AFTER the best checkpoint's epoch, not at epoch 1
+    assert res2.history[0]["epoch"] == best_epoch + 1
+    assert res2.history[-1]["epoch"] == 4
+    # the carried best means a worse early epoch can't overwrite the checkpoint
+    assert res2.best_test_loss <= res1.best_test_loss + 1e-9
+
+    # a mismatched model (same module tree, different shapes) falls back to a
+    # fresh start (remove the resume file res2 wrote so the best_* path is hit)
+    os.remove(os.path.join(ck, "resume.msgpack"))
+    other = NIOFP1D(width=4, modes=4, n_basis=3, neurons=8, l_min=4)
+    res3 = train_model(other, ds, grid, dataclasses.replace(cfg, epochs=1))
+    assert res3.history[0]["epoch"] == 1
+
+
 def test_divergence_guard_stops_training():
     """A blow-up LR produces non-finite loss; the loop must stop, not spin."""
     d = G.generate_fpe1d(seed=5, m=16, n_snapshots=8, nsteps=30)
