@@ -120,7 +120,10 @@ class TrainConfig:
     #              list): conv/dense compute and activations stream bf16, BN affine
     #              params + running stats stay exactly f32 — removing the per-step
     #              stat quantization and the train/eval normalization mismatch the
-    #              "encoder" gate failures are attributed to.
+    #              "encoder" gate failures are attributed to. PASSED the round-5
+    #              gate (fpe1d/nio 0.1822 vs f32 0.1806, tol 1.05x —
+    #              runs/logs/fpe1d_nio_bf16val_summary.json); this is the
+    #              validated bench-headline mode.
     # Ignored when compute_dtype is None. Only meaningful for NIO-family models
     # (UNet param trees have no "Encoder" scope — "encoder" casts nothing there).
     amp_policy: str = "all"
